@@ -1,0 +1,78 @@
+"""HTML→text extraction as a vectorized pandas/Arrow UDF.
+
+This is the engine's analog of the reference's per-record payload decode
+(XML element → typed model, clinvar_ingest/reader.py:144-189 +
+model/variation_archive.py:1076-1194). Two contract points carried over:
+
+* the function is **pure and deterministic** — the same ``html`` bytes
+  always produce the same ``text`` bytes (the reference asserts exact
+  field values in test/test_parse.py; our tests assert byte-identical
+  extraction across replays, partitionings, and parallelism levels),
+* it runs **only** through Arrow-vectorized pandas UDFs, never
+  row-at-a-time Python (BASELINE.json input_hint).
+
+The extraction itself is intentionally dependency-free (no bs4/lxml in
+the sandbox): strip script/style blocks, strip tags, decode a fixed
+entity set, collapse whitespace. All operations are bytes/regex level —
+no locale, no float paths — so results are stable across pandas/PyArrow
+versions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Fixed, ordered entity table (order matters: &amp; last on decode).
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+_RE_SCRIPT = re.compile(r"(?is)<(script|style|noscript)\b.*?</\1\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_RE_TAG = re.compile(r"(?s)<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+
+
+def extract_text_py(html: bytes | None) -> str | None:
+    """Pure scalar reference implementation (used by golden tests)."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = _RE_SCRIPT.sub(" ", s)
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_TAG.sub(" ", s)
+    for ent, rep in _ENTITIES:
+        s = s.replace(ent, rep)
+    return _RE_WS.sub(" ", s).strip()
+
+
+@pandas_udf(StringType())
+def _extract_text_udf(html: pd.Series) -> pd.Series:
+    # Vectorized pandas string ops over the whole Arrow batch; the regex
+    # passes are the same objects as the scalar reference impl, so the
+    # two paths are byte-identical by construction.
+    s = html.map(lambda b: None if b is None else b.decode("utf-8", errors="replace"))
+    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
+    s = s.str.replace(_RE_COMMENT, " ", regex=True)
+    s = s.str.replace(_RE_TAG, " ", regex=True)
+    for ent, rep in _ENTITIES:
+        s = s.str.replace(ent, rep, regex=False)
+    return s.str.replace(_RE_WS, " ", regex=True).str.strip()
+
+
+def extract_text(html_col: Column | str) -> Column:
+    """Column expression: extracted text of an ``html:binary`` column."""
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    return _extract_text_udf(col)

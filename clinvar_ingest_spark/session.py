@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine never *requires* this factory — every operator takes the
+session it is handed (the driver passes its own) — but jobs and tests
+use it so that plans are consistent: AQE on, Arrow on, ANSI off so
+``CAST`` of dirty strings yields NULL like the reference's
+``int_or_none`` (clinvar_ingest/model/common.py:100-103) instead of
+failing the job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "clinvar_ingest_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the ingest workload.
+
+    Defaults are chosen for the sandbox (local[N]) but every knob is the
+    one you would set on a 1000-executor cluster too: AQE handles
+    runtime re-planning (coalesce small shuffle partitions, skew-join
+    splitting), Arrow makes the pandas-UDF extraction path vectorized,
+    and shuffle partitions are sized to the parallelism at hand.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 200
+        except ValueError:
+            n = int(cpus)
+        shuffle_partitions = max(n, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ANSI off: engine semantics are "dirty data becomes NULL",
+        # mirroring the reference's permissive int_or_none/sanitize_date.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

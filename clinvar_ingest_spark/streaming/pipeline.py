@@ -1,0 +1,198 @@
+"""The end-to-end ingest pipeline: log tail → extract → LWW merge → commit.
+
+Reference lifecycle parity (SURVEY.md §3): workflow.py's
+checkpoint-begin → copy/parse → checkpoint-end becomes
+
+    plan offset range   (ready-work query, processing_history.py:596-696)
+    fencing check       (check_started_exists, processing_history.py:193-226)
+    batch = log(lo,hi]  (Kafka offset replay, read-topic.py:37-81)
+    extract text        (parse step, vectorized pandas UDF)
+    merge_upsert        (CTAS + window-rank LWW, create_tables.py:161-286)
+    commit w/ HWM props (write_finished, processing_history.py:431-489)
+    lineage + metrics   (parsed_files JSON lineage, progress logger)
+
+Exactly-once: the HWM lives in the *same atomic commit* as the data
+(snapshot properties), so a crash between any two steps either replays
+a batch that was never visible (idempotent merge) or skips a batch the
+fencing sees as done. Resuming from any checkpoint reproduces the full
+replay byte-for-byte (tested in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.functions.extract import extract_text
+from clinvar_ingest_spark.sources.change_log import ChangeLogSource, OffsetRange
+from clinvar_ingest_spark.tables import SnapshotTable
+
+
+@dataclass
+class BatchReport:
+    batch_id: int
+    lo: int
+    hi: int
+    skipped: bool
+    snapshot_id: int | None = None
+    n_upserts: int = 0
+    n_deletes: int = 0
+    wall_sec: float = 0.0
+    events_per_sec: float = 0.0
+
+
+class IngestPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: ChangeLogSource,
+        target: SnapshotTable,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        dedup_strategy: str = "max_by",
+    ):
+        self.spark = spark
+        self.source = source
+        self.target = target
+        self.transform = transform or self.default_transform
+        self.dedup_strategy = dedup_strategy
+
+    # ------------------------------------------------------------ transform
+    @staticmethod
+    def default_transform(batch: DataFrame) -> DataFrame:
+        """html → text via the Arrow-vectorized extractor; deletes keep
+        NULL html/text (tombstones carry no payload)."""
+        return batch.withColumn("text", extract_text("html"))
+
+    # ------------------------------------------------------------ state
+    def global_hwm(self) -> int:
+        return int(self.target.properties().get("global_hwm", -1))
+
+    def last_batch_id(self) -> int:
+        return int(self.target.properties().get("batch_id", -1))
+
+    def checkpoints(self) -> dict[str, int]:
+        return dict(self.target.properties().get("hwm_by_part", {}))
+
+    # ------------------------------------------------------------ sidecars
+    def _side_write(self, kind: str, batch_id: int, rows: list[dict], schema: str):
+        path = f"{self.target.path}/_{kind}/batch={batch_id}"
+        df = self.spark.createDataFrame(rows, schema=schema)  # type: ignore[arg-type]
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.target.path}/_lineage/batch=*")
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.target.path}/_metrics/batch=*")
+
+    # ------------------------------------------------------------ run
+    def run_batch(self, rng: OffsetRange) -> BatchReport:
+        """Apply one offset range exactly once."""
+        hwm = self.global_hwm()
+        if rng.hi <= hwm:
+            # Fencing: already committed (reference analog: skip-existing
+            # copy, workflow.py:211-224; started-row check).
+            return BatchReport(self.last_batch_id(), rng.lo, rng.hi, skipped=True)
+        if rng.lo != hwm:
+            raise ValueError(
+                f"non-contiguous batch: hwm={hwm}, requested lo={rng.lo}"
+            )
+
+        t0 = time.monotonic()
+        batch_id = self.last_batch_id() + 1
+        batch = self.transform(self.source.batch(rng))
+
+        part_ranges = self.source.part_ranges(batch)
+        hwm_by_part = self.checkpoints()
+        for pr in part_ranges:
+            hwm_by_part[str(pr["part"])] = max(
+                pr["seq_hi"], hwm_by_part.get(str(pr["part"]), -1)
+            )
+
+        res = self.target.merge_upsert(
+            batch,
+            order_cols=("warc_ts", "seq"),
+            op_col="op",
+            properties={
+                "global_hwm": rng.hi,
+                "batch_id": batch_id,
+                "hwm_by_part": hwm_by_part,
+            },
+            dedup_strategy=self.dedup_strategy,
+        )
+        wall = time.monotonic() - t0
+        n_events = sum(pr["n_rows"] for pr in part_ranges)
+
+        # Sidecar tables are re-derivable from the manifest chain; their
+        # writes are idempotent per batch_id (overwrite of batch=N dir),
+        # so a crash between commit and sidecar write self-heals on the
+        # next run_batch / ensure_sidecars call.
+        self._side_write(
+            "lineage",
+            batch_id,
+            [
+                {
+                    "batch_id": batch_id,
+                    "part": pr["part"],
+                    "seq_lo": pr["seq_lo"],
+                    "seq_hi": pr["seq_hi"],
+                    "snapshot_id": res.snapshot_id,
+                    "n_rows": pr["n_rows"],
+                }
+                for pr in part_ranges
+            ],
+            "batch_id long, part int, seq_lo long, seq_hi long, "
+            "snapshot_id long, n_rows long",
+        )
+        eps = n_events / wall if wall > 0 else 0.0
+        lag = self.source.max_seq() - rng.hi
+        self._side_write(
+            "metrics",
+            batch_id,
+            [
+                {
+                    "batch_id": batch_id,
+                    "n_events": n_events,
+                    "wall_sec": wall,
+                    "events_per_sec": eps,
+                    "lag_events": lag,
+                }
+            ],
+            "batch_id long, n_events long, wall_sec double, "
+            "events_per_sec double, lag_events long",
+        )
+        return BatchReport(
+            batch_id, rng.lo, rng.hi, False, res.snapshot_id,
+            res.n_upserts, res.n_deletes, wall, eps,
+        )
+
+    def run_to_end(self, span: int, end_seq: int | None = None) -> list[BatchReport]:
+        """Tail the log to its end (availableNow semantics), resuming
+        from the committed HWM — call it again after a crash and it
+        continues where the last atomic commit left off."""
+        end = self.source.max_seq() if end_seq is None else end_seq
+        reports = []
+        for rng in self.source.plan_batches(self.global_hwm(), end, span):
+            reports.append(self.run_batch(rng))
+        return reports
+
+    # ------------------------------------------------------------ reads
+    def current_state(self) -> DataFrame:
+        return self.target.read().drop("_bucket", "_deleted")
+
+    def lookup(self, url: str) -> DataFrame:
+        """Point lookup with manifest bucket pruning — O(1 bucket) scan."""
+        from clinvar_ingest_spark.tables import bucket_expr
+
+        b = self.spark.range(1).select(
+            bucket_expr_lit(url, self.target.n_buckets).alias("b")
+        ).collect()[0]["b"]
+        return self.target.read(buckets=[int(b)]).filter(F.col("url") == url)
+
+
+def bucket_expr_lit(url: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.lit(url)), F.lit(n_buckets)).cast("int")

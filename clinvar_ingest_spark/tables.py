@@ -1,0 +1,390 @@
+"""Snapshot-isolated lake tables with bucketed copy-on-write MERGE.
+
+In production the engine targets Apache Iceberg (``df.writeTo(t)`` /
+``MERGE INTO`` with a ``bucket(url)`` partition transform). The sandbox
+has no Iceberg runtime jar, so this module implements the same contract
+on plain Parquet + JSON manifests:
+
+* data files are **immutable**; a *snapshot* is a JSON manifest mapping
+  ``bucket -> [parquet files]`` (files may live in older snapshots'
+  directories — commits never copy untouched buckets),
+* the current snapshot is a one-line pointer file swapped atomically
+  with ``os.replace`` (same effect as an Iceberg catalog pointer swap),
+* a MERGE rewrites **only the buckets touched by the batch** — the
+  engine's analog of Iceberg partition-level copy-on-write, which is
+  what keeps a 10^10-row target mergeable: a batch touching 1% of key
+  space rewrites 1% of files,
+* snapshot ``properties`` carry the per-source-partition high-water-mark
+  so checkpoint and state commit **atomically** (exactly-once fencing;
+  reference analog: processing_history started/finished rows,
+  clinvar_ingest/cloud/bigquery/processing_history.py:271-489),
+* schemas are versioned in the manifest; additive evolution unions the
+  batch schema into the table schema and old files read back with NULLs
+  for new columns (reference analog: schema_version stamping,
+  clinvar_ingest/config.py:49).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clinvar_ingest_spark.operators.dedup import lww_dedup
+
+_PTR = "_ptr"
+_MANIFESTS = "_manifests"
+_DATA = "data"
+BUCKET_COL = "_bucket"
+DELETED_COL = "_deleted"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic key→bucket assignment (Iceberg bucket-transform analog)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class CommitResult:
+    snapshot_id: int
+    manifest_path: str
+    touched_buckets: list[int]
+    n_upserts: int
+    n_deletes: int
+    n_rows_after: int
+    properties: dict[str, Any] = field(default_factory=dict)
+
+
+class SnapshotTable:
+    """A bucketed, snapshot-isolated table keyed by ``key_col``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str = "url",
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------------ meta
+    def _ptr_path(self) -> str:
+        return os.path.join(self.path, _PTR)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._ptr_path())
+
+    def current_manifest(self) -> dict[str, Any] | None:
+        if not self.exists():
+            return None
+        with open(self._ptr_path()) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.path, _MANIFESTS, name)) as f:
+            return json.load(f)
+
+    def snapshot_id(self) -> int:
+        m = self.current_manifest()
+        return -1 if m is None else m["snapshot_id"]
+
+    def schema(self) -> T.StructType | None:
+        m = self.current_manifest()
+        if m is None:
+            return None
+        return T.StructType.fromJson(m["schema"])
+
+    def properties(self) -> dict[str, Any]:
+        m = self.current_manifest()
+        return {} if m is None else m.get("properties", {})
+
+    def history(self) -> list[str]:
+        d = os.path.join(self.path, _MANIFESTS)
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    # ------------------------------------------------------------------ read
+    def _files(self, manifest: dict[str, Any], buckets: list[int] | None = None):
+        out: list[str] = []
+        for b, files in manifest["buckets"].items():
+            if buckets is None or int(b) in buckets:
+                out.extend(files)
+        return out
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        snapshot: dict[str, Any] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Current state. ``buckets`` prunes to the named buckets only —
+        the manifest is the engine's partition-pruning index.
+
+        Tombstone rows (``_deleted = true``) are retained in storage so
+        that LWW across batches sees deletes (a late out-of-order older
+        update must NOT resurrect a deleted key); they are filtered out
+        of reads unless ``include_deleted``."""
+        m = snapshot or self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        schema = T.StructType.fromJson(m["schema"])
+        files = self._files(m, buckets)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if not include_deleted and DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return df
+
+    def read_at(self, snapshot_id: int) -> DataFrame:
+        """Time travel: read the table as of an older snapshot."""
+        for name in self.history():
+            with open(os.path.join(self.path, _MANIFESTS, name)) as f:
+                m = json.load(f)
+            if m["snapshot_id"] == snapshot_id:
+                return self.read(snapshot=m)
+        raise ValueError(f"snapshot {snapshot_id} not found in {self.path}")
+
+    # ----------------------------------------------------------------- write
+    def _commit(
+        self,
+        buckets: dict[int, list[str]],
+        schema: T.StructType,
+        properties: dict[str, Any],
+        parent: int,
+        stats: dict[str, Any],
+    ) -> tuple[int, str]:
+        os.makedirs(os.path.join(self.path, _MANIFESTS), exist_ok=True)
+        sid = parent + 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "key_col": self.key_col,
+            "n_buckets": self.n_buckets,
+            "schema": schema.jsonValue(),
+            "buckets": {str(b): f for b, f in sorted(buckets.items())},
+            "properties": properties,
+            "stats": stats,
+        }
+        name = f"m-{sid:08d}-{uuid.uuid4().hex[:8]}.json"
+        mpath = os.path.join(self.path, _MANIFESTS, name)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        # Atomic pointer swap = the commit point (Iceberg catalog analog).
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            f.write(name)
+        os.replace(tmp, self._ptr_path())
+        return sid, mpath
+
+    def create(self, schema: T.StructType, properties: dict[str, Any] | None = None):
+        if self.exists():
+            raise ValueError(f"table {self.path} already exists")
+        extra = []
+        if BUCKET_COL not in schema.names:
+            extra.append(T.StructField(BUCKET_COL, T.IntegerType()))
+        if DELETED_COL not in schema.names:
+            extra.append(T.StructField(DELETED_COL, T.BooleanType()))
+        if extra:
+            schema = T.StructType(list(schema.fields) + extra)
+        os.makedirs(self.path, exist_ok=True)
+        self._commit({}, schema, properties or {}, parent=-1, stats={"n_rows": 0})
+        return self
+
+    def _write_buckets(self, df: DataFrame, snapshot_hint: int) -> dict[int, list[str]]:
+        """Write df (already carrying BUCKET_COL) as one dir per bucket.
+
+        ``partitionBy`` strips the partition column from the files, so a
+        duplicate ``_pb`` drives the layout while BUCKET_COL stays in the
+        data (lets any file list be read back without basePath tricks).
+        """
+        out_dir = os.path.join(
+            self.path, _DATA, f"s{snapshot_hint:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            df.withColumn("_pb", F.col(BUCKET_COL))
+            .repartition(F.col(BUCKET_COL))
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        buckets: dict[int, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith("_pb="):
+                b = int(entry.split("=")[1])
+                bdir = os.path.join(out_dir, entry)
+                buckets[b] = sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+        return buckets
+
+    def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None):
+        """Full rewrite (CTAS analog: create_tables.py:224)."""
+        m = self.current_manifest()
+        parent = -1 if m is None else m["snapshot_id"]
+        if BUCKET_COL not in df.columns:
+            df = df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.n_buckets))
+        if DELETED_COL not in df.columns:
+            df = df.withColumn(DELETED_COL, F.lit(False))
+        os.makedirs(self.path, exist_ok=True)
+        buckets = self._write_buckets(df, parent + 1)
+        all_files = [f for fs in buckets.values() for f in fs]
+        n = (
+            df.sparkSession.read.schema(df.schema).parquet(*all_files).count()
+            if all_files
+            else 0
+        )
+        props = dict((m or {}).get("properties", {}))
+        props.update(properties or {})
+        sid, mp = self._commit(buckets, df.schema, props, parent, {"n_rows": n})
+        return CommitResult(sid, mp, sorted(buckets), n, 0, n, props)
+
+    # ----------------------------------------------------------------- merge
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        order_cols: tuple[str, ...] = ("warc_ts", "seq"),
+        op_col: str = "op",
+        delete_op: str = "delete",
+        properties: dict[str, Any] | None = None,
+        dedup_strategy: str = "max_by",
+    ) -> CommitResult:
+        """MERGE the batch into the table with LWW semantics.
+
+        Equivalent Iceberg SQL::
+
+            MERGE INTO target t USING (dedup batch) s ON t.url = s.url
+            WHEN MATCHED AND s.op = 'delete' THEN DELETE
+            WHEN MATCHED AND s is newer      THEN UPDATE SET *
+            WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
+
+        Physical plan: batch winners are computed with the salted/max_by
+        LWW dedup; only target buckets present in the batch are read
+        (manifest pruning) and rewritten; the union of {pruned target ∪
+        batch winners} goes through one more LWW pass so that a *stale*
+        replayed batch is a no-op — this is what makes re-applying any
+        offset range idempotent (exactly-once under retry).
+        """
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist; create() it first")
+
+        batch = batch.withColumn(
+            BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)
+        )
+
+        # --- additive schema evolution ---------------------------------
+        target_schema = T.StructType.fromJson(m["schema"])
+        batch_data_schema = [f for f in batch.schema.fields if f.name != op_col]
+        new_fields = [
+            f for f in batch_data_schema if f.name not in target_schema.names
+        ]
+        evolved = T.StructType(list(target_schema.fields) + new_fields)
+        for f in evolved.fields:
+            if f.name not in batch.columns and f.name != DELETED_COL:
+                batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+        # LWW runs over the data columns; the tombstone flag is derived
+        # from the op column and re-materialized on write.
+        data_cols = [f.name for f in evolved.fields if f.name != DELETED_COL]
+
+        # --- batch-local LWW winners ------------------------------------
+        winners = lww_dedup(
+            batch.select(*data_cols, op_col),
+            key_cols=(self.key_col,),
+            order_cols=list(order_cols),
+            strategy=dedup_strategy,
+        )
+
+        # --- bucket pruning: only read what the batch touches -----------
+        touched = sorted(
+            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
+        )
+        # Tombstones MUST take part in the merge: a late out-of-order
+        # older update loses LWW against a stored delete and stays dead.
+        pruned_target = self.read(
+            buckets=touched, snapshot=m, include_deleted=True
+        )
+        for f in new_fields:
+            pruned_target = pruned_target.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+        pruned_target = pruned_target.withColumn(
+            op_col,
+            F.when(
+                F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit(delete_op)
+            ).otherwise(F.lit("existing")),
+        ).select(*data_cols, op_col)
+
+        merged = lww_dedup(
+            pruned_target.unionByName(winners.select(*data_cols, op_col)),
+            key_cols=(self.key_col,),
+            order_cols=list(order_cols),
+            strategy=dedup_strategy,
+        )
+        survivors = merged.withColumn(
+            DELETED_COL, F.col(op_col) == F.lit(delete_op)
+        ).drop(op_col)
+
+        # --- rewrite only touched buckets --------------------------------
+        out_cols = data_cols + [DELETED_COL]
+        new_bucket_files = (
+            self._write_buckets(survivors.select(*out_cols), m["snapshot_id"] + 1)
+            if touched
+            else {}
+        )
+        buckets = {int(b): f for b, f in m["buckets"].items()}
+        for b in touched:
+            buckets[b] = new_bucket_files.get(b, [])  # bucket may be emptied
+        buckets = {b: f for b, f in buckets.items() if f}
+
+        counts = winners.agg(
+            F.sum((F.col(op_col) != F.lit(delete_op)).cast("long")).alias("u"),
+            F.sum((F.col(op_col) == F.lit(delete_op)).cast("long")).alias("d"),
+        ).collect()[0]
+        n_up = int(counts["u"] or 0)
+        n_del = int(counts["d"] or 0)
+        prev_rows = m.get("stats", {}).get("n_rows", 0)
+
+        props = dict(m.get("properties", {}))
+        props.update(properties or {})
+        sid, mp = self._commit(
+            buckets,
+            evolved,
+            props,
+            m["snapshot_id"],
+            {"n_rows": None, "prev_rows": prev_rows},
+        )
+        return CommitResult(sid, mp, touched, n_up, n_del, -1, props)
+
+    def vacuum_tombstones(self, watermark_ts, ts_col: str = "warc_ts") -> CommitResult:
+        """GC tombstones older than a watermark.
+
+        At 10^10-event scale tombstones accumulate; once the source
+        guarantees no event older than ``watermark_ts`` can still
+        arrive (the stream's allowed out-of-orderness), tombstones
+        below it can never win an LWW comparison again and are dropped
+        with a full rewrite (run it rarely, like Iceberg maintenance).
+        """
+        m = self.current_manifest()
+        df = self.read(snapshot=m, include_deleted=True)
+        kept = df.filter(
+            (~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            | (F.col(ts_col) >= F.lit(watermark_ts))
+        )
+        return self.overwrite(kept)
+
+    def drop(self):
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
