@@ -1,0 +1,63 @@
+"""LWW dedup strategy equivalence + ordering semantics.
+
+Reference analog: the window-rank dedup asserts implied by
+create_tables.py:176-222 (top-1 per key by date DESC, id DESC).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.operators.dedup import exact_dedup, lww_dedup
+from clinvar_ingest_spark.sources import synthetic_change_log
+
+TS = dt.datetime(2020, 1, 1)
+
+
+def _log(spark):
+    rows = [
+        # url, warc_ts, seq, payload
+        ("a", TS + dt.timedelta(1), 1, "a-old"),
+        ("a", TS + dt.timedelta(3), 2, "a-new"),
+        ("a", TS + dt.timedelta(2), 3, "a-mid"),
+        ("b", TS, 4, "b-tie-lo-seq"),
+        ("b", TS, 5, "b-tie-hi-seq"),  # tie on warc_ts → seq breaks it
+        ("c", TS, 6, "c-only"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, seq long, payload string"
+    )
+
+
+@pytest.mark.parametrize("strategy", ["window", "salted_window", "max_by"])
+def test_lww_keeps_last_writer(spark, strategy):
+    out = lww_dedup(_log(spark), ("url",), ("warc_ts", "seq"), strategy=strategy)
+    got = {r["url"]: r["payload"] for r in out.collect()}
+    assert got == {"a": "a-new", "b": "b-tie-hi-seq", "c": "c-only"}
+    assert out.count() == 3
+
+
+def test_strategies_agree_on_skewed_log(spark):
+    log = synthetic_change_log(spark, 3000, n_urls=100, hot_share=60, hot_urls=3)
+    outs = [
+        sorted(
+            lww_dedup(log, ("url",), ("warc_ts", "seq"), strategy=s)
+            .select("url", "seq")
+            .collect()
+        )
+        for s in ("window", "salted_window", "max_by")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # hot urls really are hot (skew fixture sanity)
+    hot = log.groupBy("url").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > 3000 * 0.10
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, body string"
+    )
+    out = {r["body"]: (r["id"], r["n_copies"]) for r in
+           exact_dedup(df, ["body"], "id").collect()}
+    assert out == {"x": (1, 2), "y": (3, 1)}

@@ -1,0 +1,129 @@
+"""Pipeline: exactly-once, resume equivalence, lineage, idempotence.
+
+Reference analogs: processing_history started/finished fencing
+(processing_history.py:271-489), skip-existing idempotent copy
+(workflow.py:211-224), parsed_files lineage (processing_history.py:431-443).
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from clinvar_ingest_spark.sources import ChangeLogSource, synthetic_change_log
+from clinvar_ingest_spark.sources.change_log import OffsetRange
+from clinvar_ingest_spark.streaming import IngestPipeline
+from clinvar_ingest_spark.tables import SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+N = 1200
+
+
+def _pipe(spark, path, n=N):
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=8).create(SCHEMA)
+    src = ChangeLogSource(synthetic_change_log(spark, n, n_urls=150))
+    return IngestPipeline(spark, src, tbl)
+
+
+def _state(pipe):
+    return sorted(
+        (r["url"], r["seq"], r["text"], r["lang"])
+        for r in pipe.current_state().collect()
+    )
+
+
+def test_full_replay_equals_incremental(spark, tmp_path):
+    full = _pipe(spark, str(tmp_path / "full"))
+    full.run_to_end(span=N)
+    inc = _pipe(spark, str(tmp_path / "inc"))
+    inc.run_to_end(span=147)  # ragged spans on purpose
+    assert _state(full) == _state(inc)
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 3])
+def test_resume_from_any_checkpoint(spark, tmp_path, crash_after):
+    full = _pipe(spark, str(tmp_path / "full"))
+    full.run_to_end(span=N)
+
+    path = str(tmp_path / "inc")
+    p1 = _pipe(spark, path)
+    ranges = p1.source.plan_batches(-1, N - 1, 300)
+    for rng in ranges[: crash_after + 1]:
+        p1.run_batch(rng)
+    # "crash": fresh pipeline over the same table resumes from the HWM
+    # committed inside the last snapshot — no other state carried over.
+    p2 = IngestPipeline(spark, p1.source, SnapshotTable(spark, path, "url", 8))
+    assert p2.global_hwm() == ranges[crash_after].hi
+    p2.run_to_end(span=300)
+    assert _state(full) == _state(p2)
+
+
+def test_reapply_is_noop(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    pipe.run_to_end(span=400)
+    before = _state(pipe)
+    sid = pipe.target.snapshot_id()
+    r = pipe.run_batch(OffsetRange(-1, 399))
+    assert r.skipped
+    assert pipe.target.snapshot_id() == sid
+    assert _state(pipe) == before
+
+
+def test_lineage_covers_log_exactly(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"))
+    pipe.run_to_end(span=500)
+    lin = pipe.lineage().collect()
+    assert sum(r["n_rows"] for r in lin) == N
+    # per (batch, part) ranges are disjoint and increasing per part
+    by_part = {}
+    for r in sorted(lin, key=lambda r: (r["part"], r["seq_lo"])):
+        prev = by_part.get(r["part"], -1)
+        assert r["seq_lo"] > prev
+        assert r["seq_hi"] >= r["seq_lo"]
+        by_part[r["part"]] = r["seq_hi"]
+    # every batch points at a real committed snapshot
+    sids = {r["snapshot_id"] for r in lin}
+    assert sids <= {m and __import__("json").load(open(f"{pipe.target.path}/_manifests/{m}"))["snapshot_id"] for m in pipe.target.history()}
+
+
+def test_metrics_emitted(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"), n=600)
+    pipe.run_to_end(span=300)
+    met = pipe.metrics().collect()
+    assert len(met) == 2
+    assert all(r["events_per_sec"] > 0 for r in met)
+    assert sorted(r["lag_events"] for r in met) == [0, 300]
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """lang column appears only in the second half of the log."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), "url", 8).create(
+        T.StructType([f for f in SCHEMA.fields if f.name != "lang"])
+    )
+    old = synthetic_change_log(spark, 600, n_urls=150, with_lang=False)
+    new = synthetic_change_log(spark, 1200, n_urls=150, with_lang=True).filter(
+        "seq >= 600"
+    )
+    pipe1 = IngestPipeline(spark, ChangeLogSource(old), tbl)
+    pipe1.run_to_end(span=600)
+    assert "lang" not in [f.name for f in tbl.schema().fields]
+    pipe2 = IngestPipeline(spark, ChangeLogSource(new), tbl)
+    pipe2.run_to_end(span=600)
+    assert "lang" in [f.name for f in tbl.schema().fields]
+    rows = pipe2.current_state().collect()
+    langs = {r["url"]: r["lang"] for r in rows}
+    # urls last touched before the boundary have NULL lang; after → value
+    seqs = {r["url"]: r["seq"] for r in rows}
+    for u, s in seqs.items():
+        if s >= 600:
+            assert langs[u] is not None
+        else:
+            assert langs[u] is None
