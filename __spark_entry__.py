@@ -1,38 +1,530 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry implements one operator from SURVEY.md §2 over
+the driver's parquet tables; ``oracle_sql()`` holds the DuckDB-runnable
+ANSI equivalent. Reference citations (file:line into /root/reference)
+sit on each query builder.
+
+The engine library itself lives in ``clinvar_ingest_spark``; queries
+here reuse its operators where they exist (lww_dedup, exact_dedup, ...)
+so the correctness gate exercises the same code paths as the pipeline.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Engine semantics: dirty casts yield NULL (reference int_or_none,
+    # model/common.py:100-103) — relax ANSI in case the driver session
+    # has Spark 4's default ANSI mode on.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# §2.4 A1 — window-rank last-writer-wins dedup (the engine's core op).
+# Reference: create_tables.py:176-222. events plays the change log:
+# user_id ≈ url (key), ts ≈ warc_ts (version), event_id ≈ seq (tiebreak).
+# =====================================================================
+
+def q_lww_latest_event(spark, sf_dir):
+    from clinvar_ingest_spark.operators import lww_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    out = lww_dedup(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        strategy="max_by",
+    )
+    return out.select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+def q_lww_latest_event_salted(spark, sf_dir):
+    """Same semantics, salted two-phase physical strategy (skew defusal:
+    SURVEY.md §4 custom-work #1). Oracle identical → proves salting is
+    semantics-preserving."""
+    from clinvar_ingest_spark.operators import lww_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    out = lww_dedup(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        strategy="salted_window",
+        n_salts=8,
+    )
+    return out.select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+_SQL_LWW = """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_lww_with_tombstones(spark, sf_dir):
+    """LWW + tombstone filter: users whose latest event is an 'error'
+    are treated as deleted keys (delete-tombstone analog,
+    FIXTURES.md §1; reference delete path processing_history.py:228-268)."""
+    from clinvar_ingest_spark.operators import lww_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    out = lww_dedup(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        strategy="max_by",
+    )
+    return out.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+# =====================================================================
+# §2.3 J1 — interval/range join ±1 day. Reference:
+# processing_history.py:121-130 (VCV×RCV release dates within 1 day).
+# Daily click vs purchase counts joined on |date diff| <= 1.
+# =====================================================================
+
+def q_range_join_1day(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("click_date"), F.col("cnt").alias("click_cnt")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("purchase_date"), F.col("cnt").alias("purchase_cnt")
+    )
+    # Equi-free range condition; at this cardinality Catalyst broadcasts
+    # one side (BNLJ) — same shape the reference view relies on.
+    joined = a.join(
+        b,
+        F.datediff(F.col("click_date"), F.col("purchase_date")).between(-1, 1),
+        "inner",
+    )
+    return joined.select("click_date", "purchase_date", "click_cnt", "purchase_cnt")
+
+
+_SQL_RANGE_JOIN = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT a.d AS click_date, b.d AS purchase_date,
+       a.cnt AS click_cnt, b.cnt AS purchase_cnt
+FROM daily a JOIN daily b
+  ON a.event_type = 'click' AND b.event_type = 'purchase'
+ AND date_diff('day', b.d, a.d) BETWEEN -1 AND 1
+"""
+
+
+# =====================================================================
+# §2.3 J2/J3/J9/J10 — left / semi / anti joins and null gates.
+# Reference: processing_history.py:131-144 (left), 193-226 (exists),
+# 683-692 (NOT EXISTS fence).
+# =====================================================================
+
+def q_semi_join_active_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_anti_join_idle_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_left_join_null_gate(spark, sf_dir):
+    """Orders with no lineitems (LEFT JOIN ... IS NULL, P19)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .filter(F.col("l_orderkey").isNull())
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+# =====================================================================
+# §2.4 — aggregations / sorts / limits (A2, A4, A7, P20).
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the grouped-agg workhorse; partial aggregation
+    (map-side combine) keeps it shuffle-light at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(sum(l_extendedprice), 2)  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)       AS avg_qty,
+       round(avg(l_discount), 4)       AS avg_disc,
+       count(*)                        AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: multi-way star join; dims broadcast, fact shuffles
+    once on the join key."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    cust = _t(spark, sf_dir, "customer")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+    return out
+
+
+_SQL_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """ORDER BY + LIMIT top-k (A4/P20) — Spark plans TakeOrderedAndProject,
+    no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(20)
+    )
+
+
+def q_event_type_stats(spark, sf_dir):
+    """Group-by-key fan-out stats (A7 routing + A2 count guards)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# §2.6 scalar transforms: P3 coalesce-oneof, P8 date sanitize,
+# P9 nullable int cast, JSON get (parse.py:116-130 / common.py:100-127).
+# =====================================================================
+
+def q_sanitize_date(spark, sf_dir):
+    """sanitize_date analog: trim trailing garbage after YYYY-MM-DD
+    (common.py:106-127); dirty strings that don't match become NULL."""
+    o = _t(spark, sf_dir, "orders")
+    dirty = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(" trailing junk")).otherwise(
+            F.lit("")
+        ),
+    )
+    cleaned = F.to_date(F.regexp_extract(dirty, r"^(\d{4}-\d{2}-\d{2})", 1))
+    return (
+        o.select(cleaned.alias("clean_date"))
+        .groupBy("clean_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("clean_date")
+    )
+
+
+_SQL_SANITIZE_DATE = """
+SELECT CAST(regexp_extract(
+         strftime(o_orderdate, '%Y-%m-%d') ||
+           CASE WHEN o_orderkey % 3 = 0 THEN ' trailing junk' ELSE '' END,
+         '^(\\d{4}-\\d{2}-\\d{2})', 1) AS DATE) AS clean_date,
+       count(*) AS n
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_try_int_cast(spark, sf_dir):
+    """int_or_none analog (P9): numeric prefix of a mixed string; junk → NULL."""
+    p = _t(spark, sf_dir, "part")
+    mixed = F.when(F.col("p_partkey") % 4 == 0, F.lit("not-a-number")).otherwise(
+        F.col("p_size").cast("string")
+    )
+    return (
+        p.select(mixed.try_cast("bigint").alias("as_int"))
+        .groupBy("as_int")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("as_int")
+    )
+
+
+_SQL_TRY_INT = """
+SELECT TRY_CAST(CASE WHEN p_partkey % 4 = 0 THEN 'not-a-number'
+                     ELSE CAST(p_size AS VARCHAR) END AS BIGINT) AS as_int,
+       count(*) AS n
+FROM part GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON path get over the props column (P7 analog; parse.py:245-251)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_mod")
+    )
+
+
+_SQL_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_coalesce_oneof(spark, sf_dir):
+    """extract_oneof analog (P3, utils.py:6-16): first present alternative."""
+    c = _t(spark, sf_dir, "customer")
+    alt1 = F.when(F.col("c_acctbal") > 5000, F.col("c_mktsegment"))
+    alt2 = F.when(F.col("c_acctbal") > 0, F.lit("POSITIVE"))
+    return (
+        c.select(F.coalesce(alt1, alt2, F.lit("OTHER")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+_SQL_COALESCE = """
+SELECT coalesce(CASE WHEN c_acctbal > 5000 THEN c_mktsegment END,
+                CASE WHEN c_acctbal > 0 THEN 'POSITIVE' END,
+                'OTHER') AS bucket,
+       count(*) AS n
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+
+# =====================================================================
+# §2.5 set/array ops: E1 intersect, E2 overlap, P4/P5 list handling.
+# =====================================================================
+
+def q_user_event_type_sets(spark, sf_dir):
+    """Per-user sorted distinct event types + id-array building
+    (variation_archive.py:371-373 collect-ids analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select("user_id", "types", F.size("types").alias("n_types"))
+        .orderBy("user_id")
+    )
+
+
+_SQL_TYPE_SETS = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       len(list(DISTINCT event_type)) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_array_overlap(spark, sf_dir):
+    """xref-set any-overlap analog (E2, trait.py:466-471): users sharing
+    ≥1 rare event type with a probe set."""
+    ev = _t(spark, sf_dir, "events")
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    probe = F.array(F.lit("signup"), F.lit("error"))
+    return (
+        sets.select(
+            "user_id",
+            F.arrays_overlap("types", probe).alias("hits_probe"),
+            F.array_sort(F.array_intersect("types", probe)).alias("common"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_ARRAY_OVERLAP = """
+WITH sets AS (
+  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(list_intersect(types, ['signup','error'])) > 0 AS hits_probe,
+       list_sort(list_intersect(types, ['signup','error'])) AS common
+FROM sets ORDER BY user_id
+"""
+
+
+def q_union_append(spark, sf_dir):
+    """Union-by-append (E3, combine.py analog): two filtered slices
+    re-unioned then re-aggregated."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 100000)
+    lo = o.filter(F.col("o_totalprice") < 100000)
+    return (
+        hi.unionByName(lo)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# =====================================================================
+# driver entry points
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LWW window-rank dedup (the engine's core operator) on
+    the sf0.001 events table."""
+    return q_lww_latest_event(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lww_latest_event": q_lww_latest_event,
+        "lww_latest_event_salted": q_lww_latest_event_salted,
+        "lww_with_tombstones": q_lww_with_tombstones,
+        "range_join_1day": q_range_join_1day,
+        "semi_join_active_customers": q_semi_join_active_customers,
+        "anti_join_idle_customers": q_anti_join_idle_customers,
+        "left_join_null_gate": q_left_join_null_gate,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders": q_top_orders,
+        "event_type_stats": q_event_type_stats,
+        "sanitize_date": q_sanitize_date,
+        "try_int_cast": q_try_int_cast,
+        "json_extract": q_json_extract,
+        "coalesce_oneof": q_coalesce_oneof,
+        "user_event_type_sets": q_user_event_type_sets,
+        "array_overlap": q_array_overlap,
+        "union_append": q_union_append,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lww_latest_event": _SQL_LWW,
+        "lww_latest_event_salted": _SQL_LWW,
+        "lww_with_tombstones": """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+""",
+        "range_join_1day": _SQL_RANGE_JOIN,
+        "semi_join_active_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+        "anti_join_idle_customers": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+        "left_join_null_gate": """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)
+""",
+        "pricing_summary": _SQL_Q1,
+        "revenue_by_nation": _SQL_Q5,
+        "top_orders": """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+""",
+        "event_type_stats": """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "sanitize_date": _SQL_SANITIZE_DATE,
+        "try_int_cast": _SQL_TRY_INT,
+        "json_extract": _SQL_JSON,
+        "coalesce_oneof": _SQL_COALESCE,
+        "user_event_type_sets": _SQL_TYPE_SETS,
+        "array_overlap": _SQL_ARRAY_OVERLAP,
+        "union_append": """
+SELECT o_orderstatus, count(*) AS n FROM (
+  SELECT * FROM orders WHERE o_totalprice >= 100000
+  UNION ALL
+  SELECT * FROM orders WHERE o_totalprice < 100000
+) GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    }
