@@ -445,6 +445,353 @@ def q_union_append(spark, sf_dir):
 
 
 # =====================================================================
+# Training-data pipeline operators over documents/embeddings
+# (first-class components per the build brief; hashes via md5 so the
+# DuckDB oracle replays identical signatures).
+# =====================================================================
+
+def q_doc_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenizer."""
+    from clinvar_ingest_spark.functions.text import regex_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        regex_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Language-ID by deterministic stopword vote + CJK short-circuit."""
+    from clinvar_ingest_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_doc_quality_score(spark, sf_dir):
+    """Quality heuristic: length/stopword/punctuation mix."""
+    from clinvar_ingest_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text")).alias("score")
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprint (md5 of normalized text)."""
+    from clinvar_ingest_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact-content dedup: hash-groupBy, min-id survivor (map-side
+    combinable — no window, robust to hot boilerplate content)."""
+    from clinvar_ingest_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = exact_dedup(d.select("doc_id", "text"), ["text"], "doc_id")
+    return out.select(
+        F.md5("text").alias("fp"),
+        F.col("doc_id").alias("keeper"),
+        "n_copies",
+    ).orderBy("keeper")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures over 3-gram shingles (4 hash families)."""
+    from clinvar_ingest_spark.functions.similarity import (
+        minhash_signature,
+        shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", *minhash_signature(shingles(F.col("text")))
+    ).orderBy("doc_id")
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → minhash → band → bucket-join →
+    exact-Jaccard verify. Candidate generation is an equi join on the
+    band value — O(n·bands), never O(n²)."""
+    from clinvar_ingest_spark.operators.similarity_dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, threshold=0.2, band_prefix=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """SimHash (16-bit, frequency-weighted) bucket stats."""
+    from clinvar_ingest_spark.operators.similarity_dedup import simhash_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_buckets(d).orderBy("simhash")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
+    from clinvar_ingest_spark.operators.ann import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    """Bucketed ANN: sign-bit LSH, candidates only within the bucket —
+    the scale path (equi join on bucket id instead of cross join)."""
+    from clinvar_ingest_spark.operators.ann import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Opaque-binary plumbing: text bytes stand in for media payloads;
+    feature extraction via Arrow-batched mapInPandas (decode stubbed,
+    plumbing real — see functions/multimodal.py)."""
+    from clinvar_ingest_spark.functions.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_media_features(payloads).orderBy("doc_id")
+
+
+def q_running_total(spark, sf_dir):
+    """Cumulative window agg per key (ordered running state — the
+    batch analog of the streaming progress counters, utils.py:99-122)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------
+# DuckDB oracle SQL for the training-data operators. Shared constants
+# come from the same modules as the Spark expressions.
+# ---------------------------------------------------------------------
+
+def _sql_text_ops():
+    from clinvar_ingest_spark.functions.similarity import N_MINHASH
+    from clinvar_ingest_spark.functions.text import (
+        CJK_PATTERN,
+        PUNCT_PATTERN,
+        STOPWORDS,
+        TOKEN_PATTERN,
+    )
+
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    hits = {
+        lang: (
+            f"len(list_filter({toks}, t -> list_contains("
+            f"{[w for w in ws]!r}, t)))".replace("'", "'").replace('"', "'")
+        )
+        for lang, ws in STOPWORDS.items()
+    }
+    # build the ladder CASE
+    best = "greatest(" + ", ".join(f"h_{g}" for g in STOPWORDS) + ")"
+    ladder = " ".join(
+        f"WHEN h_{g} = {best} AND {best} > 0 THEN '{g}'" for g in STOPWORDS
+    )
+    langid = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         {', '.join(f'{e} AS h_{g}' for g, e in hits.items())}
+  FROM documents
+)
+SELECT CASE WHEN regexp_matches(lower(text), '{CJK_PATTERN}') THEN 'zh'
+            {ladder}
+            ELSE 'unknown' END AS lang_pred,
+       count(*) AS n
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+    token_count = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+    en = STOPWORDS["en"]
+    quality = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+              t -> list_contains({en!r}, t))) AS DOUBLE) AS sw,
+         CAST(length(text) - length(regexp_replace(text, '{PUNCT_PATTERN}', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+           + 0.4 * (CASE WHEN n_tok > 0 THEN sw / n_tok ELSE 0 END)
+           + 0.2 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END),
+           4) AS score
+FROM f ORDER BY doc_id
+""".replace("'en_words'", repr(en))
+
+    shingle = (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+        f"i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+    sh_cte = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {shingle} AS sh FROM t)
+"""
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    minhash = sh_cte + f"SELECT doc_id, {mh_cols} FROM sh ORDER BY doc_id"
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, substr(mh{i}, 1, 4) AS band_val FROM sig"
+        for i in range(N_MINHASH)
+    )
+    lsh = sh_cte + f""",
+sig AS (SELECT doc_id, {mh_cols} FROM sh),
+bands AS ({bands_union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jac
+FROM cands
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+    votes = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(toks, t -> CASE WHEN "
+        f"(('0x' || substr(md5(t), 1, 4))::INTEGER & {1 << j}) > 0 THEN 1 ELSE -1 END),"
+        f" 'sum') > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    simhash = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, {votes} AS simhash FROM t)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
+FROM s GROUP BY simhash ORDER BY simhash
+"""
+    return {
+        "doc_token_count": token_count,
+        "doc_lang_id": langid,
+        "doc_quality_score": quality,
+        "minhash_signatures": minhash,
+        "minhash_lsh_dedup": lsh,
+        "simhash_buckets": simhash,
+    }
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM q CROSS JOIN embeddings c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+_SQL_ANN_LSH = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+_SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))
+                 ELSE -1 END AS INTEGER) AS first_byte,
+       CAST(list_aggregate(list_transform(regexp_extract_all(substr(text, 1, 64), '.'),
+                                          x -> ascii(x)), 'sum') % 997 AS BIGINT)
+         AS checksum64
+FROM documents ORDER BY doc_id
+"""
+
+_SQL_RUNNING_TOTAL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER w, 4) AS running_value,
+       count(*) OVER w AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id
+"""
+
+_SQL_EXACT_DEDUP = """
+SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keeper
+"""
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 
@@ -474,6 +821,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_type_sets": q_user_event_type_sets,
         "array_overlap": q_array_overlap,
         "union_append": q_union_append,
+        "doc_token_count": q_doc_token_count,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality_score": q_doc_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_buckets": q_simhash_buckets,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "multimodal_features": q_multimodal_features,
+        "running_total": q_running_total,
     }
 
 
@@ -527,4 +886,11 @@ SELECT o_orderstatus, count(*) AS n FROM (
   SELECT * FROM orders WHERE o_totalprice < 100000
 ) GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
+        **_sql_text_ops(),
+        "doc_fingerprint": _SQL_FINGERPRINT,
+        "exact_dedup_docs": _SQL_EXACT_DEDUP,
+        "ann_cosine_topk": _SQL_ANN_TOPK,
+        "ann_lsh_bucketed": _SQL_ANN_LSH,
+        "multimodal_features": _SQL_MULTIMODAL,
+        "running_total": _SQL_RUNNING_TOTAL,
     }

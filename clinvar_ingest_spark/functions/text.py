@@ -1,0 +1,89 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All JVM-side (no Python UDFs): language-ID by stopword voting, quality
+scoring, token counting, document fingerprinting. Each builder returns a
+pyspark Column; the constants below are shared with the DuckDB oracle
+SQL generators in ``__spark_entry__`` so both engines express the exact
+same deterministic rule.
+
+Reference parity: these generalize the reference's scalar sanitizers
+(sanitize_date/int_or_none, clinvar_ingest/model/common.py:100-127) to
+the web-text payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fixed stopword sets (ordered dict: the CASE ladder priority)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+}
+# literal CJK range chars: parse identically in Java regex and RE2
+CJK_PATTERN = f"[{chr(0x4E00)}-{chr(0x9FFF)}]"
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-ish: words / numbers / marks
+PUNCT_PATTERN = r"[.,!?;:]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single marks."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0))
+
+
+def _stopword_hits(text: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(ws_tokens(F.lower(text)), lambda t: F.array_contains(words, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic n-gram/stopword language vote.
+
+    CJK chars short-circuit to 'zh'; otherwise the language with the
+    most stopword hits wins, ties broken by the fixed ladder order
+    en > de > es > fr; zero hits everywhere → 'unknown'. The DuckDB
+    oracle replays the identical ladder.
+    """
+    hits = {lang: _stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.when(F.lower(text).rlike(CJK_PATTERN), F.lit("zh"))
+    for lang in STOPWORDS:  # ladder order = dict order
+        expr = expr.when((hits[lang] == best) & (best > 0), F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    0.4·min(tokens/100, 1) + 0.4·stopword_ratio + 0.2·(1 − punct_ratio)."""
+    n_tok = token_count(text).cast("double")
+    n_chars = F.length(text).cast("double")
+    sw = _stopword_hits(text, "en").cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(text, PUNCT_PATTERN, ""))
+    ).cast("double")
+    stop_ratio = F.when(n_tok > 0, sw / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    return F.round(
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.4 * stop_ratio
+        + 0.2 * (1.0 - punct_ratio),
+        4,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Stable content fingerprint: md5 of case/space-normalized text
+    (rolling-hash analog that both engines compute identically)."""
+    return F.md5(F.lower(F.trim(text)))

@@ -41,6 +41,7 @@ def synthetic_change_log(
     seed: int = 42,
     with_lang: bool = True,
     num_partitions: int | None = None,
+    html_repeat: int = 0,
 ) -> DataFrame:
     """Ordered change log: (part, seq, op, url, warc_ts, html[, lang]).
 
@@ -72,20 +73,26 @@ def synthetic_change_log(
     jitter = (_rnd(seed, 4) % 10800).cast("long") - F.lit(5400)
     warc_ts = F.timestamp_seconds(F.lit(BASE_TS) + F.col("id") * 7 + jitter)
 
-    html = F.when(
-        op != F.lit("delete"),
-        F.encode(
-            F.concat(
-                F.lit("<html><head><title>Page "), uid.cast("string"),
-                F.lit("</title><script>var t=1;</script></head><body><h1>Doc "),
-                uid.cast("string"),
-                F.lit("</h1><p>revision "), F.col("id").cast("string"),
-                F.lit(" &amp; content for url "), uid.cast("string"),
-                F.lit(".</p><!-- c --></body></html>"),
-            ),
-            "UTF-8",
-        ),
-    )
+    body_parts = [
+        F.lit("<html><head><title>Page "), uid.cast("string"),
+        F.lit("</title><script>var t=1;</script></head><body><h1>Doc "),
+        uid.cast("string"),
+        F.lit("</h1><p>revision "), F.col("id").cast("string"),
+        F.lit(" &amp; content for url "), uid.cast("string"), F.lit(".</p>"),
+    ]
+    if html_repeat:
+        # Common-Crawl pages are KB-scale; pad with deterministic filler
+        # paragraphs (1..2·html_repeat of ~70 B each) so extraction and
+        # shuffle carry realistic per-event weight in benchmarks.
+        n_paras = (_rnd(seed, 7) % html_repeat + html_repeat).cast("int")
+        para = F.concat(
+            F.lit("<p>lorem ipsum dolor sit amet consectetur adipiscing elit r"),
+            (_rnd(seed, 8) % 1000).cast("string"),
+            F.lit("</p>"),
+        )
+        body_parts.append(F.repeat(para, n_paras))
+    body_parts.append(F.lit("<!-- c --></body></html>"))
+    html = F.when(op != F.lit("delete"), F.encode(F.concat(*body_parts), "UTF-8"))
 
     cols = [
         (_rnd(seed, 5) % n_parts).cast("int").alias("part"),

@@ -20,6 +20,7 @@ replay byte-for-byte (tested in tests/test_pipeline.py).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -78,10 +79,33 @@ class IngestPipeline:
         return dict(self.target.properties().get("hwm_by_part", {}))
 
     # ------------------------------------------------------------ sidecars
+    _SIDE_SCHEMAS = {
+        "lineage": [
+            ("batch_id", "int64"), ("part", "int32"), ("seq_lo", "int64"),
+            ("seq_hi", "int64"), ("snapshot_id", "int64"), ("n_rows", "int64"),
+        ],
+        "metrics": [
+            ("batch_id", "int64"), ("n_events", "int64"), ("wall_sec", "float64"),
+            ("events_per_sec", "float64"), ("lag_events", "int64"),
+        ],
+    }
+
     def _side_write(self, kind: str, batch_id: int, rows: list[dict], schema: str):
+        """Sidecar rows are a handful per batch — written driver-side via
+        pyarrow (a Spark job for 4 rows costs seconds of scheduling).
+        Layout stays Spark-readable parquet, idempotent per batch_id."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         path = f"{self.target.path}/_{kind}/batch={batch_id}"
-        df = self.spark.createDataFrame(rows, schema=schema)  # type: ignore[arg-type]
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        os.makedirs(path, exist_ok=True)
+        pa_types = {"int32": pa.int32(), "int64": pa.int64(), "float64": pa.float64()}
+        fields = self._SIDE_SCHEMAS[kind]
+        table = pa.table(
+            {name: pa.array([r[name] for r in rows], type=pa_types[typ])
+             for name, typ in fields}
+        )
+        pq.write_table(table, f"{path}/part-0.parquet")
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.target.path}/_lineage/batch=*")
@@ -90,8 +114,13 @@ class IngestPipeline:
         return self.spark.read.parquet(f"{self.target.path}/_metrics/batch=*")
 
     # ------------------------------------------------------------ run
-    def run_batch(self, rng: OffsetRange) -> BatchReport:
-        """Apply one offset range exactly once."""
+    def run_batch(self, rng: OffsetRange, log_end_seq: int | None = None) -> BatchReport:
+        """Apply one offset range exactly once.
+
+        The expensive transform (extraction) runs AFTER the LWW dedup
+        inside the merge — only once per surviving key, and only once
+        per batch (winners are persisted across the merge's actions).
+        """
         hwm = self.global_hwm()
         if rng.hi <= hwm:
             # Fencing: already committed (reference analog: skip-existing
@@ -104,9 +133,10 @@ class IngestPipeline:
 
         t0 = time.monotonic()
         batch_id = self.last_batch_id() + 1
-        batch = self.transform(self.source.batch(rng))
+        raw = self.source.batch(rng)
 
-        part_ranges = self.source.part_ranges(batch)
+        # lineage ranges come from the raw batch — no UDF in this scan
+        part_ranges = self.source.part_ranges(raw)
         hwm_by_part = self.checkpoints()
         for pr in part_ranges:
             hwm_by_part[str(pr["part"])] = max(
@@ -114,7 +144,7 @@ class IngestPipeline:
             )
 
         res = self.target.merge_upsert(
-            batch,
+            raw.drop(self.source.part_col),
             order_cols=("warc_ts", "seq"),
             op_col="op",
             properties={
@@ -123,6 +153,7 @@ class IngestPipeline:
                 "hwm_by_part": hwm_by_part,
             },
             dedup_strategy=self.dedup_strategy,
+            post_dedup_transform=self.transform,
         )
         wall = time.monotonic() - t0
         n_events = sum(pr["n_rows"] for pr in part_ranges)
@@ -149,7 +180,8 @@ class IngestPipeline:
             "snapshot_id long, n_rows long",
         )
         eps = n_events / wall if wall > 0 else 0.0
-        lag = self.source.max_seq() - rng.hi
+        end = self.source.max_seq() if log_end_seq is None else log_end_seq
+        lag = end - rng.hi
         self._side_write(
             "metrics",
             batch_id,
@@ -177,7 +209,7 @@ class IngestPipeline:
         end = self.source.max_seq() if end_seq is None else end_seq
         reports = []
         for rng in self.source.plan_batches(self.global_hwm(), end, span):
-            reports.append(self.run_batch(rng))
+            reports.append(self.run_batch(rng, log_end_seq=end))
         return reports
 
     # ------------------------------------------------------------ reads

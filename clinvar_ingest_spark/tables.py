@@ -259,6 +259,7 @@ class SnapshotTable:
         delete_op: str = "delete",
         properties: dict[str, Any] | None = None,
         dedup_strategy: str = "max_by",
+        post_dedup_transform=None,
     ) -> CommitResult:
         """MERGE the batch into the table with LWW semantics.
 
@@ -270,11 +271,17 @@ class SnapshotTable:
             WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
 
         Physical plan: batch winners are computed with the salted/max_by
-        LWW dedup; only target buckets present in the batch are read
-        (manifest pruning) and rewritten; the union of {pruned target ∪
-        batch winners} goes through one more LWW pass so that a *stale*
-        replayed batch is a no-op — this is what makes re-applying any
-        offset range idempotent (exactly-once under retry).
+        LWW dedup FIRST, then ``post_dedup_transform`` (e.g. the Arrow
+        html→text extraction) runs on winners only — at an 8:1
+        event-to-key ratio that is 8× less UDF work than transforming
+        the raw batch. Winners are persisted across the merge's actions
+        (touched-bucket discovery, write, stats) so the expensive path
+        executes once. Only target buckets present in the batch are
+        read (manifest pruning) and rewritten; the union of {pruned
+        target ∪ batch winners} goes through one more LWW pass so that
+        a *stale* replayed batch is a no-op — this is what makes
+        re-applying any offset range idempotent (exactly-once under
+        retry).
         """
         m = self.current_manifest()
         if m is None:
@@ -284,28 +291,36 @@ class SnapshotTable:
             BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)
         )
 
+        # --- batch-local LWW winners (pre-transform: cheap columns only)
+        winners_raw = lww_dedup(
+            batch,
+            key_cols=(self.key_col,),
+            order_cols=list(order_cols),
+            strategy=dedup_strategy,
+        )
+        if post_dedup_transform is not None:
+            winners_raw = post_dedup_transform(winners_raw)
+
         # --- additive schema evolution ---------------------------------
         target_schema = T.StructType.fromJson(m["schema"])
-        batch_data_schema = [f for f in batch.schema.fields if f.name != op_col]
+        batch_data_schema = [
+            f for f in winners_raw.schema.fields if f.name != op_col
+        ]
         new_fields = [
             f for f in batch_data_schema if f.name not in target_schema.names
         ]
         evolved = T.StructType(list(target_schema.fields) + new_fields)
         for f in evolved.fields:
-            if f.name not in batch.columns and f.name != DELETED_COL:
-                batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
+            if f.name not in winners_raw.columns and f.name != DELETED_COL:
+                winners_raw = winners_raw.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
 
         # LWW runs over the data columns; the tombstone flag is derived
         # from the op column and re-materialized on write.
         data_cols = [f.name for f in evolved.fields if f.name != DELETED_COL]
 
-        # --- batch-local LWW winners ------------------------------------
-        winners = lww_dedup(
-            batch.select(*data_cols, op_col),
-            key_cols=(self.key_col,),
-            order_cols=list(order_cols),
-            strategy=dedup_strategy,
-        )
+        winners = winners_raw.select(*data_cols, op_col).persist()
 
         # --- bucket pruning: only read what the batch touches -----------
         touched = sorted(
@@ -328,7 +343,7 @@ class SnapshotTable:
         ).select(*data_cols, op_col)
 
         merged = lww_dedup(
-            pruned_target.unionByName(winners.select(*data_cols, op_col)),
+            pruned_target.unionByName(winners),
             key_cols=(self.key_col,),
             order_cols=list(order_cols),
             strategy=dedup_strategy,
@@ -366,6 +381,7 @@ class SnapshotTable:
             m["snapshot_id"],
             {"n_rows": None, "prev_rows": prev_rows},
         )
+        winners.unpersist()
         return CommitResult(sid, mp, touched, n_up, n_del, -1, props)
 
     def vacuum_tombstones(self, watermark_ts, ts_col: str = "warc_ts") -> CommitResult:
