@@ -591,6 +591,134 @@ def q_running_total(spark, sf_dir):
     ).orderBy("user_id", "event_id")
 
 
+# =====================================================================
+# Remaining reference-parity operators.
+# =====================================================================
+
+def q_prioritized_lookup(spark, sf_dir):
+    """Multi-strategy first-match-wins lookup (J7, trait.py:437-523):
+    each order gets a contact — (1) its own customer if high-balance,
+    (2) the segment representative, (3) UNASSIGNED."""
+    from clinvar_ingest_spark.operators.joins import prioritized_left_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    own = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("contact")
+    )
+    seg_rep = (
+        c.groupBy("c_mktsegment")
+        .agg(F.min("c_name").alias("contact"))
+        .withColumnRenamed("c_mktsegment", "seg")
+    )
+    cust_seg = c.select(
+        F.col("c_custkey").alias("ck"), F.col("c_mktsegment").alias("cseg")
+    )
+    enriched = o.join(cust_seg, o.o_custkey == cust_seg.ck, "left")
+    out = prioritized_left_join(
+        enriched,
+        [
+            (own, lambda l, r: l.o_custkey == r["_m0_k"], "contact"),
+            (seg_rep, lambda l, r: l.cseg == r["_m1_seg"], "contact"),
+        ],
+        output_col="contact",
+        default=F.lit("UNASSIGNED"),
+    )
+    return (
+        out.groupBy("contact")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "contact")
+        .limit(30)
+    )
+
+
+_SQL_PRIORITIZED = """
+WITH own AS (
+  SELECT c_custkey AS k, c_name AS contact FROM customer WHERE c_acctbal > 9000
+),
+seg_rep AS (
+  SELECT c_mktsegment AS seg, min(c_name) AS contact FROM customer GROUP BY 1
+),
+enriched AS (
+  SELECT o.*, c.c_mktsegment AS cseg FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT coalesce(own.contact, seg_rep.contact, 'UNASSIGNED') AS contact,
+       count(*) AS n_orders
+FROM enriched e
+LEFT JOIN own ON e.o_custkey = own.k
+LEFT JOIN seg_rep ON e.cseg = seg_rep.seg
+GROUP BY 1 ORDER BY n_orders DESC, contact LIMIT 30
+"""
+
+
+def q_synthetic_ids(spark, sf_dir):
+    """Deterministic synthetic child ids via ordinal position
+    (A5 counters / pre-order SCV.N ids, variation_archive.py:509-577):
+    derived from (parent id, ordinal), never from
+    monotonically_increasing_id — replay-stable by construction."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.trim("text"), r"\s+")
+    out = d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    return out.select(
+        F.concat_ws(".", F.col("doc_id"), F.col("pos")).alias("synthetic_id"),
+        "doc_id",
+        "pos",
+        "token",
+    ).orderBy("doc_id", "pos")
+
+
+_SQL_SYNTHETIC_IDS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id || '.' || (unnest(range(1, len(toks)+1)) - 1) AS synthetic_id,
+       doc_id,
+       unnest(range(1, len(toks)+1)) - 1 AS pos,
+       unnest(toks) AS token
+FROM t ORDER BY doc_id, pos
+"""
+
+
+def q_clean_empty_tokens(spark, sf_dir):
+    """Recursive empty-pruning analog (P6, parse.py:74-113): drop empty
+    strings produced by a lossy split; report raw vs clean sizes."""
+    c = _t(spark, sf_dir, "customer")
+    raw = F.split(F.col("c_name"), "0")
+    clean = F.filter(raw, lambda t: t != F.lit(""))
+    return (
+        c.select(F.size(raw).alias("n_raw"), F.size(clean).alias("n_clean"))
+        .groupBy("n_raw", "n_clean")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("n_raw", "n_clean")
+    )
+
+
+_SQL_CLEAN_EMPTY = """
+SELECT len(string_split(c_name, '0')) AS n_raw,
+       len(list_filter(string_split(c_name, '0'), t -> t <> '')) AS n_clean,
+       count(*) AS n
+FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_to_json_rows(spark, sf_dir):
+    """Row→JSON serialization (P7/P12 dictify + jsonify, parse.py:240-252):
+    canonical JSON of a projected struct."""
+    n = _t(spark, sf_dir, "nation")
+    js = F.to_json(
+        F.struct(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"))
+    )
+    return n.select(js.alias("payload")).orderBy("payload")
+
+
+_SQL_TO_JSON = """
+SELECT to_json(struct_pack(k := n_nationkey, name := n_name)) AS payload
+FROM nation ORDER BY payload
+"""
+
+
 # ---------------------------------------------------------------------
 # DuckDB oracle SQL for the training-data operators. Shared constants
 # come from the same modules as the Spark expressions.
@@ -833,6 +961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "multimodal_features": q_multimodal_features,
         "running_total": q_running_total,
+        "prioritized_lookup": q_prioritized_lookup,
+        "synthetic_ids": q_synthetic_ids,
+        "clean_empty_tokens": q_clean_empty_tokens,
+        "to_json_rows": q_to_json_rows,
     }
 
 
@@ -893,4 +1025,8 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ann_lsh_bucketed": _SQL_ANN_LSH,
         "multimodal_features": _SQL_MULTIMODAL,
         "running_total": _SQL_RUNNING_TOTAL,
+        "prioritized_lookup": _SQL_PRIORITIZED,
+        "synthetic_ids": _SQL_SYNTHETIC_IDS,
+        "clean_empty_tokens": _SQL_CLEAN_EMPTY,
+        "to_json_rows": _SQL_TO_JSON,
     }

@@ -33,10 +33,12 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 200
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 50
         except ValueError:
             n = int(cpus)
-        shuffle_partitions = max(n, 8)
+        # 4 waves per stage: fine enough that stage-barrier stragglers
+        # don't idle cores, coarse enough that task overhead stays small
+        shuffle_partitions = max(n * 4, 16)
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -45,6 +47,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UDF-heavy stages: 64MB coalesced partitions serialize Arrow
+        # workers; 16MB keeps post-shuffle Python stages wide.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # ANSI off: engine semantics are "dirty data becomes NULL",
@@ -56,6 +61,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill on tmpfs when available: local mode shares one disk
+    # across all "executors"; on a real cluster each executor has its
+    # own local SSDs, so this just removes a sandbox-only bottleneck.
+    if os.path.isdir("/dev/shm"):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

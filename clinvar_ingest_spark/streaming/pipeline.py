@@ -53,7 +53,7 @@ class IngestPipeline:
         source: ChangeLogSource,
         target: SnapshotTable,
         transform: Callable[[DataFrame], DataFrame] | None = None,
-        dedup_strategy: str = "max_by",
+        dedup_strategy: str = "window",
     ):
         self.spark = spark
         self.source = source
@@ -63,10 +63,15 @@ class IngestPipeline:
 
     # ------------------------------------------------------------ transform
     @staticmethod
-    def default_transform(batch: DataFrame) -> DataFrame:
-        """html → text via the Arrow-vectorized extractor; deletes keep
-        NULL html/text (tombstones carry no payload)."""
-        return batch.withColumn("text", extract_text("html"))
+    def default_transform(winners: DataFrame) -> DataFrame:
+        """html → text via the Arrow-vectorized extractor, applied to
+        FINAL merge winners only: rows arriving from the stored target
+        already carry text (coalesce keeps it — byte-identical, never
+        re-extracted); batch winners extract once; tombstones have NULL
+        html and stay NULL."""
+        return winners.withColumn(
+            "text", F.coalesce(F.col("text"), extract_text("html"))
+        )
 
     # ------------------------------------------------------------ state
     def global_hwm(self) -> int:
@@ -135,26 +140,45 @@ class IngestPipeline:
         batch_id = self.last_batch_id() + 1
         raw = self.source.batch(rng)
 
-        # lineage ranges come from the raw batch — no UDF in this scan
-        part_ranges = self.source.part_ranges(raw)
-        hwm_by_part = self.checkpoints()
-        for pr in part_ranges:
-            hwm_by_part[str(pr["part"])] = max(
-                pr["seq_hi"], hwm_by_part.get(str(pr["part"]), -1)
-            )
+        # Lineage part-ranges run in a concurrent thread: Spark's
+        # scheduler interleaves the pruned-column scan with the merge's
+        # jobs, so the driver-side job round-trips overlap instead of
+        # serializing (the merge does not depend on part_ranges).
+        import threading
+
+        pr_result: dict = {}
+
+        def _collect_ranges():
+            pr_result["ranges"] = self.source.part_ranges(raw)
+
+        th = threading.Thread(target=_collect_ranges, daemon=True)
+        th.start()
+
+        def _props():
+            # evaluated by merge_upsert right before the atomic pointer
+            # swap (after the bucket write): the per-part HWMs still land
+            # in the SAME commit as the data — exactly-once preserved.
+            th.join()
+            hwm_by_part = self.checkpoints()
+            for pr in pr_result["ranges"]:
+                hwm_by_part[str(pr["part"])] = max(
+                    pr["seq_hi"], hwm_by_part.get(str(pr["part"]), -1)
+                )
+            return {
+                "global_hwm": rng.hi,
+                "batch_id": batch_id,
+                "hwm_by_part": hwm_by_part,
+            }
 
         res = self.target.merge_upsert(
             raw.drop(self.source.part_col),
             order_cols=("warc_ts", "seq"),
             op_col="op",
-            properties={
-                "global_hwm": rng.hi,
-                "batch_id": batch_id,
-                "hwm_by_part": hwm_by_part,
-            },
+            properties=_props,
             dedup_strategy=self.dedup_strategy,
-            post_dedup_transform=self.transform,
+            post_merge_transform=self.transform,
         )
+        part_ranges = pr_result["ranges"]
         wall = time.monotonic() - t0
         n_events = sum(pr["n_rows"] for pr in part_ranges)
 

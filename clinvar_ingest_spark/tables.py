@@ -52,6 +52,14 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _footer_rows(files: list[str]) -> int:
+    """Row count from parquet footers — Iceberg file-stats analog;
+    metadata-only, never recomputes the plan."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 @dataclass
 class CommitResult:
     snapshot_id: int
@@ -258,8 +266,9 @@ class SnapshotTable:
         op_col: str = "op",
         delete_op: str = "delete",
         properties: dict[str, Any] | None = None,
-        dedup_strategy: str = "max_by",
-        post_dedup_transform=None,
+        dedup_strategy: str = "window",
+        post_merge_transform=None,
+        batch_stats: dict[str, Any] | None = None,
     ) -> CommitResult:
         """MERGE the batch into the table with LWW semantics.
 
@@ -270,18 +279,28 @@ class SnapshotTable:
             WHEN MATCHED AND s is newer      THEN UPDATE SET *
             WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
 
-        Physical plan: batch winners are computed with the salted/max_by
-        LWW dedup FIRST, then ``post_dedup_transform`` (e.g. the Arrow
-        html→text extraction) runs on winners only — at an 8:1
-        event-to-key ratio that is 8× less UDF work than transforming
-        the raw batch. Winners are persisted across the merge's actions
-        (touched-bucket discovery, write, stats) so the expensive path
-        executes once. Only target buckets present in the batch are
-        read (manifest pruning) and rewritten; the union of {pruned
-        target ∪ batch winners} goes through one more LWW pass so that
-        a *stale* replayed batch is a no-op — this is what makes
-        re-applying any offset range idempotent (exactly-once under
-        retry).
+        Physical plan (two exchanges total, measured fastest of the
+        candidate shapes — see BENCH.md):
+
+        1. union {batch ∪ touched-target-buckets} — target rows carry
+           their stored version, tombstones included, so LWW across
+           batches is correct and a *stale* replayed batch is a no-op
+           (idempotent re-apply = exactly-once under retry);
+        2. ONE explicit ``repartition(P, key)`` (a numbered repartition
+           is exempt from AQE coalescing, keeping the downstream Arrow
+           UDF stage wide) feeding a window row_number top-1 per key —
+           the window reuses the repartition's hash partitioning, no
+           second exchange;
+        3. ``post_merge_transform`` (e.g. ``text = coalesce(text,
+           extract(html))``) runs inline on FINAL winners only — a batch
+           row that loses to the stored state is never extracted;
+        4. bucket-partitioned write of only the touched buckets
+           (manifest pruning = Iceberg partition-level copy-on-write).
+
+        ``dedup_strategy``: "window" (default; explicit wide partitioning),
+        "salted_window" or "max_by" (skew-proof variants; aggregates get
+        map-side partial combine so hot keys pre-reduce per input
+        partition).
         """
         m = self.current_manifest()
         if m is None:
@@ -291,41 +310,39 @@ class SnapshotTable:
             BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)
         )
 
-        # --- batch-local LWW winners (pre-transform: cheap columns only)
-        winners_raw = lww_dedup(
-            batch,
-            key_cols=(self.key_col,),
-            order_cols=list(order_cols),
-            strategy=dedup_strategy,
-        )
-        if post_dedup_transform is not None:
-            winners_raw = post_dedup_transform(winners_raw)
-
-        # --- additive schema evolution ---------------------------------
+        # --- additive schema evolution (from the batch's own columns) ---
         target_schema = T.StructType.fromJson(m["schema"])
-        batch_data_schema = [
-            f for f in winners_raw.schema.fields if f.name != op_col
-        ]
         new_fields = [
-            f for f in batch_data_schema if f.name not in target_schema.names
+            f
+            for f in batch.schema.fields
+            if f.name not in target_schema.names and f.name != op_col
         ]
-        evolved = T.StructType(list(target_schema.fields) + new_fields)
-        for f in evolved.fields:
-            if f.name not in winners_raw.columns and f.name != DELETED_COL:
-                winners_raw = winners_raw.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
+        base_cols = [f.name for f in target_schema.fields if f.name != DELETED_COL]
+        data_cols = base_cols + [f.name for f in new_fields]
+        for f in target_schema.fields:
+            if f.name not in batch.columns and f.name != DELETED_COL:
+                batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+        # --- touched buckets + applied-event counts: one pruned-column
+        # aggregate (bucket, op only — no payload, no UDF), or the
+        # caller's precomputed stats (the pipeline folds this into its
+        # lineage job so a batch costs exactly two Spark jobs)
+        if batch_stats is None:
+            stat_rows = (
+                batch.groupBy(BUCKET_COL)
+                .agg(
+                    F.sum((F.col(op_col) != F.lit(delete_op)).cast("long")).alias("u"),
+                    F.sum((F.col(op_col) == F.lit(delete_op)).cast("long")).alias("d"),
                 )
-
-        # LWW runs over the data columns; the tombstone flag is derived
-        # from the op column and re-materialized on write.
-        data_cols = [f.name for f in evolved.fields if f.name != DELETED_COL]
-
-        winners = winners_raw.select(*data_cols, op_col).persist()
-
-        # --- bucket pruning: only read what the batch touches -----------
-        touched = sorted(
-            r[0] for r in winners.select(BUCKET_COL).distinct().collect()
-        )
+                .collect()
+            )
+            touched = sorted(int(r[BUCKET_COL]) for r in stat_rows)
+            n_up = sum(int(r["u"] or 0) for r in stat_rows)
+            n_del = sum(int(r["d"] or 0) for r in stat_rows)
+        else:
+            touched = sorted(int(b) for b in batch_stats["touched"])
+            n_up = int(batch_stats["n_upserts"])
+            n_del = int(batch_stats["n_deletes"])
         # Tombstones MUST take part in the merge: a late out-of-order
         # older update loses LWW against a stored delete and stays dead.
         pruned_target = self.read(
@@ -342,15 +359,42 @@ class SnapshotTable:
             ).otherwise(F.lit("existing")),
         ).select(*data_cols, op_col)
 
-        merged = lww_dedup(
-            pruned_target.unionByName(winners),
-            key_cols=(self.key_col,),
-            order_cols=list(order_cols),
-            strategy=dedup_strategy,
-        )
+        everything = pruned_target.unionByName(batch.select(*data_cols, op_col))
+
+        if dedup_strategy == "window":
+            par = self.spark.sparkContext.defaultParallelism * 2
+            wide = everything.repartition(par, F.col(self.key_col))
+            merged = lww_dedup(
+                wide,
+                key_cols=(self.key_col,),
+                order_cols=list(order_cols),
+                strategy="window",
+            )
+        else:
+            par = self.spark.sparkContext.defaultParallelism * 2
+            merged = lww_dedup(
+                everything,
+                key_cols=(self.key_col,),
+                order_cols=list(order_cols),
+                strategy=dedup_strategy,
+            ).repartition(par)
+
         survivors = merged.withColumn(
             DELETED_COL, F.col(op_col) == F.lit(delete_op)
         ).drop(op_col)
+        if post_merge_transform is not None:
+            survivors = post_merge_transform(survivors)
+            for f in survivors.schema.fields:
+                if f.name not in data_cols and f.name != DELETED_COL:
+                    data_cols.append(f.name)
+
+        # evolved schema = target order, then any new columns
+        evolved = T.StructType(
+            [f for f in target_schema.fields if f.name != DELETED_COL]
+            + [f for f in survivors.schema.fields
+               if f.name not in target_schema.names and f.name != DELETED_COL]
+            + [T.StructField(DELETED_COL, T.BooleanType())]
+        )
 
         # --- rewrite only touched buckets --------------------------------
         out_cols = data_cols + [DELETED_COL]
@@ -364,25 +408,25 @@ class SnapshotTable:
             buckets[b] = new_bucket_files.get(b, [])  # bucket may be emptied
         buckets = {b: f for b, f in buckets.items() if f}
 
-        counts = winners.agg(
-            F.sum((F.col(op_col) != F.lit(delete_op)).cast("long")).alias("u"),
-            F.sum((F.col(op_col) == F.lit(delete_op)).cast("long")).alias("d"),
-        ).collect()[0]
-        n_up = int(counts["u"] or 0)
-        n_del = int(counts["d"] or 0)
-        prev_rows = m.get("stats", {}).get("n_rows", 0)
+        # row stats from parquet footers (Iceberg file-stats analog —
+        # no recompute of the merged plan)
+        n_after = _footer_rows(
+            [f for fs in buckets.values() for f in fs]
+        )
 
         props = dict(m.get("properties", {}))
-        props.update(properties or {})
+        # properties may be a callable (evaluated now, just before the
+        # atomic commit — lets callers overlap side computations with
+        # the merge while still committing their state atomically)
+        props.update(properties() if callable(properties) else (properties or {}))
         sid, mp = self._commit(
             buckets,
             evolved,
             props,
             m["snapshot_id"],
-            {"n_rows": None, "prev_rows": prev_rows},
+            {"n_rows": n_after},
         )
-        winners.unpersist()
-        return CommitResult(sid, mp, touched, n_up, n_del, -1, props)
+        return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
     def vacuum_tombstones(self, watermark_ts, ts_col: str = "warc_ts") -> CommitResult:
         """GC tombstones older than a watermark.

@@ -1,0 +1,74 @@
+"""Physical-plan contracts: pushdown, pruning, broadcast, no per-row Python.
+
+The brief's scale requirements enforced as assertions on real plans.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from clinvar_ingest_spark.plans import executed_plan, pushed_filters
+from clinvar_ingest_spark.plans.explain import read_schemas
+from clinvar_ingest_spark.sources import ChangeLogSource
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_changelog_tail_pushes_seq_filter(spark, tmp_path):
+    """Tailing seq > hwm must reach the parquet scan as PushedFilters —
+    that is what makes the tail O(new data) via row-group min/max skip."""
+    from clinvar_ingest_spark.sources import synthetic_change_log
+    from clinvar_ingest_spark.sources.change_log import OffsetRange
+
+    p = str(tmp_path / "log")
+    synthetic_change_log(spark, 2000, n_urls=300).write.parquet(p)
+    src = ChangeLogSource(spark.read.parquet(p))
+    batch = src.batch(OffsetRange(1000, 1500))
+    pf = " ".join(pushed_filters(batch))
+    assert "GreaterThan(seq,1000)" in pf
+    assert "LessThanOrEqual(seq,1500)" in pf
+
+
+def test_projection_prunes_scan_columns(spark):
+    """A 2-column projection must not read the whole documents table."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    rs = " ".join(read_schemas(d))
+    assert "doc_id" in rs and "lang" in rs
+    assert "text" not in rs  # the big column stays unread
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = executed_plan(entry.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, not global sort."""
+    plan = executed_plan(entry.q_top_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """input_hint: vectorized pandas/Arrow UDFs only — across EVERY query."""
+    for name, q in entry.queries().items():
+        plan = executed_plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_semi_anti_plan_shapes(spark):
+    ps = executed_plan(entry.q_semi_join_active_customers(spark, SF))
+    pa = executed_plan(entry.q_anti_join_idle_customers(spark, SF))
+    assert "LeftSemi" in ps
+    assert "LeftAnti" in pa
+
+
+def test_agg_has_partial_combine(spark):
+    """Q1-shaped agg must show two HashAggregate levels (map-side
+    partial + final) — the shuffle carries combined rows only."""
+    df = entry.q_pricing_summary(spark, SF)
+    df.collect()  # finalize AQE so the plan shows codegen spans
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "*(" in plan  # the asterisk prefix marks WholeStageCodegen spans

@@ -1,0 +1,128 @@
+"""Similarity / ANN / text / multimodal operator tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.functions.similarity import (
+    minhash_signature,
+    shingles,
+    simhash16,
+)
+from clinvar_ingest_spark.functions.text import lang_id, quality_score, token_count
+from clinvar_ingest_spark.operators.ann import cosine_topk, lsh_cosine_topk
+from clinvar_ingest_spark.operators.similarity_dedup import minhash_lsh_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_shingles_golden(spark):
+    df = _docs(spark, ["a b c d", "x y", ""])
+    got = {r["doc_id"]: sorted(r["sh"]) for r in
+           df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()}
+    assert got == {0: ["a b c", "b c d"], 1: [], 2: []}
+
+
+def test_minhash_matches_python(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    toks = text.split()
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    want = min(hashlib.md5(f"0|{s}".encode()).hexdigest() for s in sh)
+    df = _docs(spark, [text])
+    got = df.select(*minhash_signature(shingles(F.col("text")))).collect()[0]["mh0"]
+    assert got == want
+
+
+def test_near_dup_pair_found_exact_dup_jaccard_1(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"  # 1 shingle differs
+    df = _docs(spark, [a, a, b, "completely different words entirely here now"])
+    out = {(r["doc_a"], r["doc_b"]): r["jac"] for r in
+           minhash_lsh_dedup(df, threshold=0.2).collect()}
+    assert out[(0, 1)] == 1.0          # exact dup
+    assert 0.5 < out[(0, 2)] < 1.0     # near dup
+    assert (0, 3) not in out
+
+
+def test_simhash_close_for_near_dups(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    b = a + "iota"
+    df = _docs(spark, [a, b, "qqq www eee rrr ttt yyy"])
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id", simhash16(F.col("text")).alias("s")).collect()}
+    ham_ab = bin(got[0] ^ got[1]).count("1")
+    ham_ac = bin(got[0] ^ got[2]).count("1")
+    assert ham_ab < ham_ac
+    assert all(0 <= v < 2**16 for v in got.values())
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(0, 1), (1, 2), (2, 3)]
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_lsh_topk_subset_of_exact_bucket(spark):
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_cosine_topk(df, df.filter("vec_id < 3"), k=5).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    # self is always in its own bucket at rank 1
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_lang_id_rules(spark):
+    df = _docs(spark, [
+        "the cat and the dog of a house",
+        "der hund und die katze ist nicht da",
+        "el perro y la casa de los gatos que",
+        "le chien et les chats des une maison",
+        "你好世界",
+        "zzz qqq www",
+    ])
+    got = [r["l"] for r in df.select("doc_id", lang_id(F.col("text")).alias("l"))
+           .orderBy("doc_id").collect()]
+    assert got == ["en", "de", "es", "fr", "zh", "unknown"]
+
+
+def test_quality_and_tokens(spark):
+    df = _docs(spark, ["the quick fox.", "x"])
+    rows = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+    ).orderBy("doc_id").collect()
+    assert rows[0]["n"] == 3
+    assert 0.0 <= rows[1]["q"] <= rows[0]["q"] <= 1.0
+
+
+def test_multimodal_features_match_stub(spark):
+    from clinvar_ingest_spark.functions.multimodal import (
+        decode_stub,
+        extract_media_features,
+    )
+
+    payloads = [b"hello world", b"", bytes(range(200))]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: (r["n_bytes"], r["first_byte"], r["checksum64"])
+           for r in extract_media_features(df).collect()}
+    for i, p in enumerate(payloads):
+        s = decode_stub(p)
+        assert got[i] == (s["n_bytes"], s["first_byte"], s["checksum64"])
