@@ -592,6 +592,221 @@ def q_running_total(spark, sf_dir):
 
 
 # =====================================================================
+# Relational breadth: TPC-H-shaped query set over the star schema.
+# =====================================================================
+
+def q_revenue_filter_agg(spark, sf_dir):
+    """Q6 shape: pure filter+agg — every predicate must reach the scan
+    (PushedFilters) and only 4 columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return out
+
+
+_SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_order_priority_check(spark, sf_dir):
+    """Q4 shape: semi join EXISTS(lineitem shipped after orderdate),
+    counts by priority over a date window."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) <  DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_top_customers_revenue(spark, sf_dir):
+    """Q10 shape: fact×fact×dim join, revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+    return out
+
+
+_SQL_Q10 = """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_priority_shipmode_matrix(spark, sf_dir):
+    """Q12 shape: conditional aggregation (CASE inside SUM)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_SQL_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_promo_revenue_ratio(spark, sf_dir):
+    """Q14 shape: ratio of conditional revenue (broadcast dim join)."""
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+_SQL_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_large_orders(spark, sf_dir):
+    """Q18 shape: HAVING on a grouped fact, joined back for detail."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+_SQL_Q18 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+JOIN orders ON l_orderkey = o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): the batch form of a
+    session window; per-user session counts + longest session."""
+    from clinvar_ingest_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30).orderBy("user_id")
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+       max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+# =====================================================================
 # Remaining reference-parity operators.
 # =====================================================================
 
@@ -961,6 +1176,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "multimodal_features": q_multimodal_features,
         "running_total": q_running_total,
+        "revenue_filter_agg": q_revenue_filter_agg,
+        "order_priority_check": q_order_priority_check,
+        "top_customers_revenue": q_top_customers_revenue,
+        "priority_shipmode_matrix": q_priority_shipmode_matrix,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "large_orders": q_large_orders,
+        "sessionize_events": q_sessionize_events,
         "prioritized_lookup": q_prioritized_lookup,
         "synthetic_ids": q_synthetic_ids,
         "clean_empty_tokens": q_clean_empty_tokens,
@@ -1025,6 +1247,13 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ann_lsh_bucketed": _SQL_ANN_LSH,
         "multimodal_features": _SQL_MULTIMODAL,
         "running_total": _SQL_RUNNING_TOTAL,
+        "revenue_filter_agg": _SQL_Q6,
+        "order_priority_check": _SQL_Q4,
+        "top_customers_revenue": _SQL_Q10,
+        "priority_shipmode_matrix": _SQL_Q12,
+        "promo_revenue_ratio": _SQL_Q14,
+        "large_orders": _SQL_Q18,
+        "sessionize_events": _SQL_SESSIONIZE,
         "prioritized_lookup": _SQL_PRIORITIZED,
         "synthetic_ids": _SQL_SYNTHETIC_IDS,
         "clean_empty_tokens": _SQL_CLEAN_EMPTY,

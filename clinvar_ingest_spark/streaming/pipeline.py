@@ -236,6 +236,49 @@ class IngestPipeline:
             reports.append(self.run_batch(rng, log_end_seq=end))
         return reports
 
+    # ------------------------------------------------------------ audit
+    def verify_lineage(self) -> dict:
+        """Audit replay determinism bookkeeping: per source partition the
+        lineage ranges must be strictly increasing and non-overlapping,
+        their max must equal the committed per-part HWM, and every
+        batch must reference a committed snapshot. Reference analog:
+        the processing_history consistency checks
+        (processing_history.py:406-427, 596-635)."""
+        rows = sorted(
+            (
+                (r["part"], r["seq_lo"], r["seq_hi"], r["batch_id"], r["snapshot_id"])
+                for r in self.lineage().collect()
+            )
+        )
+        problems = []
+        last_hi: dict[int, int] = {}
+        for part, lo, hi, batch_id, snap in rows:
+            if lo <= last_hi.get(part, -1):
+                problems.append(
+                    f"part {part}: range ({lo},{hi}] overlaps previous "
+                    f"hi={last_hi[part]} (batch {batch_id})"
+                )
+            if hi < lo:
+                problems.append(f"part {part}: inverted range ({lo},{hi}]")
+            last_hi[part] = hi
+        hwm = self.checkpoints()
+        for part, hi in last_hi.items():
+            if hwm.get(str(part)) != hi:
+                problems.append(
+                    f"part {part}: lineage max {hi} != checkpoint HWM "
+                    f"{hwm.get(str(part))}"
+                )
+        import json as _json
+
+        snaps = set()
+        for name in self.target.history():
+            with open(f"{self.target.path}/_manifests/{name}") as f:
+                snaps.add(_json.load(f)["snapshot_id"])
+        for part, lo, hi, batch_id, snap in rows:
+            if snap not in snaps:
+                problems.append(f"batch {batch_id}: snapshot {snap} missing")
+        return {"ok": not problems, "problems": problems, "n_lineage_rows": len(rows)}
+
     # ------------------------------------------------------------ reads
     def current_state(self) -> DataFrame:
         return self.target.read().drop("_bucket", "_deleted")

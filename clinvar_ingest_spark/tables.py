@@ -80,11 +80,16 @@ class SnapshotTable:
         path: str,
         key_col: str = "url",
         n_buckets: int = 64,
+        write_salts: int = 1,
     ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        # >1 → several files per bucket per commit (write parallelism for
+        # buckets larger than one task's worth; target-file-size analog).
+        # compact() later merges them back to one file per bucket.
+        self.write_salts = write_salts
 
     # ------------------------------------------------------------------ meta
     def _ptr_path(self) -> str:
@@ -218,24 +223,31 @@ class SnapshotTable:
         out_dir = os.path.join(
             self.path, _DATA, f"s{snapshot_hint:08d}-{uuid.uuid4().hex[:8]}"
         )
-        (
-            df.withColumn("_pb", F.col(BUCKET_COL))
-            .repartition(F.col(BUCKET_COL))
-            .write.partitionBy("_pb")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        df = df.withColumn("_pb", F.col(BUCKET_COL))
+        part_by = ["_pb"]
+        if self.write_salts > 1:
+            # the salt is a real output partition (_pb=X/_ps=Y/): the
+            # writer's own clustering then guarantees one file per
+            # (bucket, salt) — V1 planned-write re-plans any manual
+            # repartition to cluster by the partition columns, so a
+            # salt that is not a partition column gets collapsed.
+            df = df.withColumn(
+                "_ps", F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.write_salts))
+            )
+            part_by.append("_ps")
+        else:
+            df = df.repartition(F.col(BUCKET_COL))
+        df.write.partitionBy(*part_by).mode("overwrite").parquet(out_dir)
         buckets: dict[int, list[str]] = {}
-        for entry in os.listdir(out_dir):
-            if entry.startswith("_pb="):
-                b = int(entry.split("=")[1])
-                bdir = os.path.join(out_dir, entry)
-                buckets[b] = sorted(
-                    os.path.join(bdir, f)
-                    for f in os.listdir(bdir)
-                    if f.endswith(".parquet")
-                )
-        return buckets
+        for root, _dirs, files in os.walk(out_dir):
+            pbs = [seg for seg in root.split(os.sep) if seg.startswith("_pb=")]
+            if not pbs:
+                continue
+            b = int(pbs[0].split("=")[1])
+            for f in files:
+                if f.endswith(".parquet"):
+                    buckets.setdefault(b, []).append(os.path.join(root, f))
+        return {b: sorted(fs) for b, fs in buckets.items()}
 
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None):
         """Full rewrite (CTAS analog: create_tables.py:224)."""
@@ -427,6 +439,39 @@ class SnapshotTable:
             {"n_rows": n_after},
         )
         return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
+
+    def compact(self, max_files_per_bucket: int = 1) -> CommitResult | None:
+        """Merge small files: rewrite every bucket holding more than
+        ``max_files_per_bucket`` files into one file each (Iceberg
+        rewrite_data_files analog). Buckets already compact keep their
+        existing files untouched — a metadata-only no-op for them."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        fat = [
+            int(b)
+            for b, files in m["buckets"].items()
+            if len(files) > max_files_per_bucket
+        ]
+        if not fat:
+            return None
+        df = self.read(buckets=fat, snapshot=m, include_deleted=True)
+        # compaction writes unsalted: one file per bucket is the goal
+        salts, self.write_salts = self.write_salts, 1
+        try:
+            new_files = self._write_buckets(df, m["snapshot_id"] + 1)
+        finally:
+            self.write_salts = salts
+        buckets = {int(b): f for b, f in m["buckets"].items()}
+        for b in fat:
+            buckets[b] = new_files.get(b, [])
+        buckets = {b: f for b, f in buckets.items() if f}
+        n = _footer_rows([f for fs in buckets.values() for f in fs])
+        sid, mp = self._commit(
+            buckets, T.StructType.fromJson(m["schema"]),
+            dict(m.get("properties", {})), m["snapshot_id"], {"n_rows": n},
+        )
+        return CommitResult(sid, mp, fat, 0, 0, n, m.get("properties", {}))
 
     def vacuum_tombstones(self, watermark_ts, ts_col: str = "warc_ts") -> CommitResult:
         """GC tombstones older than a watermark.
