@@ -1,0 +1,66 @@
+"""File-format sources: schema contract, gzip, dirty-value permissiveness."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from clinvar_ingest_spark.sources.files import (
+    read_any,
+    read_csv,
+    read_ndjson,
+    write_ndjson,
+)
+
+SCHEMA = "id bigint, name string, score double"
+
+
+def test_ndjson_roundtrip_gzip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], SCHEMA)
+    out = str(tmp_path / "nd")
+    write_ndjson(df, out, compression="gzip")
+    assert any(f.endswith(".json.gz") for f in os.listdir(out))
+    back = read_ndjson(spark, out, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_ndjson_dirty_values_become_null(spark, tmp_path):
+    p = tmp_path / "d"
+    p.mkdir()
+    with gzip.open(p / "part.json.gz", "wt") as f:
+        f.write('{"id": 1, "name": "ok", "score": 1.0}\n')
+        f.write('{"id": "not-a-number", "name": "bad", "score": 2.0}\n')
+        f.write('{"id": 3, "name": null, "score": "junk"}\n')
+    rows = {r["name"]: (r["id"], r["score"])
+            for r in read_ndjson(spark, str(p), SCHEMA).collect()}
+    assert rows["ok"] == (1, 1.0)
+    assert rows["bad"] == (None, 2.0)          # int_or_none analog
+    assert rows[None] == (3, None)
+
+
+def test_ndjson_requires_schema_or_infer(spark, tmp_path):
+    with pytest.raises(ValueError, match="schema"):
+        read_ndjson(spark, str(tmp_path), None)
+
+
+def test_csv_and_dispatch(spark, tmp_path):
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "x.csv").write_text("id,name,score\n1,a,1.5\n2,b,oops\n")
+    df = read_any(spark, str(p), "csv", SCHEMA)
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: 1.5, 2: None}  # permissive cast
+    with pytest.raises(ValueError, match="unknown format"):
+        read_any(spark, str(p), "avro")
+
+
+def test_explicit_schema_skips_inference_jobs(spark, tmp_path):
+    """With a declared schema the reader must not run a sampling pass —
+    checked by reading a file whose second row would break inference."""
+    p = tmp_path / "n"
+    p.mkdir()
+    (p / "x.json").write_text('{"id": 1}\n{"id": {"nested": true}}\n')
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    rows = [r["id"] for r in read_ndjson(spark, str(p), schema).collect()]
+    assert rows[0] == 1 and rows[1] is None
