@@ -152,8 +152,14 @@ def q_semi_join_active_customers(spark, sf_dir):
 
 
 def q_anti_join_idle_customers(spark, sf_dir):
+    """NOT-EXISTS gate (J10): customers with no orders in 1995 —
+    the orders side is date-filtered so the anti join has real work
+    (unfiltered, every customer has orders in this data)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01"))
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -561,6 +567,60 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return lsh_cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: inverted-file cells from deterministic centroids;
+    queries probe their 2 nearest of 8 cells — candidates ≈ corpus/4
+    instead of a full scan (the third ANN strategy next to brute force
+    and sign-bit LSH)."""
+    from clinvar_ingest_spark.operators.ann import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, n_cells=8, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+_SQL_ANN_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < 5
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1174,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "running_total": q_running_total,
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -1210,7 +1271,10 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """,
         "anti_join_idle_customers": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+    AND CAST(o_orderdate AS DATE) <  DATE '1996-01-01')
 """,
         "left_join_null_gate": """
 SELECT o_orderkey, o_orderstatus FROM orders
@@ -1245,6 +1309,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "exact_dedup_docs": _SQL_EXACT_DEDUP,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_bucketed": _SQL_ANN_LSH,
+        "ann_ivf": _SQL_ANN_IVF,
         "multimodal_features": _SQL_MULTIMODAL,
         "running_total": _SQL_RUNNING_TOTAL,
         "revenue_filter_agg": _SQL_Q6,

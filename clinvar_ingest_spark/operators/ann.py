@@ -63,6 +63,83 @@ def sign_bucket(vec_col, n_bits: int = 4):
     return b
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroids (the first
+    ``n_cells`` vectors by id — a seeded-sample stand-in for k-means;
+    swap in KMeans.fit on a sample in prod), every vector assigned to
+    its nearest centroid by cosine.
+
+    Returns (centroids, assignments). The assignment is a broadcast
+    join against n_cells rows + an argmax — one narrow pass over the
+    corpus, no shuffle of the corpus itself.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(cents).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    return cents, assigned
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: queries probe their ``n_probe`` nearest cells and score
+    only vectors in those cells — the classic inverted-file scale path
+    (candidates ≈ corpus · n_probe / n_cells instead of the full scan).
+    Recall < 1 by design; determinism comes from the fixed centroids
+    and (rounded sim, id) ranking."""
+    cents, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_cells = q.crossJoin(cents).select(
+        "query_id", "qv", "cell_id",
+        cosine(F.col("qv"), F.col("centroid")).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    probes = (
+        q_cells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cands = probes.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
+        ),
+        "cell_id",
+    )
+    pairs = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+    ).distinct()
+    return _ranked(pairs, k)
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
