@@ -285,13 +285,9 @@ class IngestPipeline:
 
     def lookup(self, url: str) -> DataFrame:
         """Point lookup with manifest bucket pruning — O(1 bucket) scan."""
-        from clinvar_ingest_spark.tables import bucket_expr
-
         b = self.spark.range(1).select(
-            bucket_expr_lit(url, self.target.n_buckets).alias("b")
+            F.pmod(F.xxhash64(F.lit(url)), F.lit(self.target.n_buckets))
+            .cast("int")
+            .alias("b")
         ).collect()[0]["b"]
         return self.target.read(buckets=[int(b)]).filter(F.col("url") == url)
-
-
-def bucket_expr_lit(url: str, n_buckets: int):
-    return F.pmod(F.xxhash64(F.lit(url)), F.lit(n_buckets)).cast("int")

@@ -127,3 +127,13 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
             assert langs[u] is not None
         else:
             assert langs[u] is None
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    pipe = _pipe(spark, str(tmp_path / "t"), n=600)
+    pipe.run_to_end(span=600)
+    some_url = pipe.current_state().select("url").first()["url"]
+    got = pipe.lookup(some_url).collect()
+    assert len(got) == 1 and got[0]["url"] == some_url
+    # a url whose LWW winner was a delete yields nothing
+    assert pipe.lookup("https://nope.example.com/x").count() == 0
