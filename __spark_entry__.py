@@ -866,6 +866,107 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_rollup_totals(spark, sf_dir):
+    """ROLLUP hierarchy totals (grouping-sets family — beyond the
+    reference, standard warehouse surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+"""
+
+
+def q_quantity_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    ANSI quantile_cont interpolation — no approx sketch, so the oracle
+    agrees bitwise after rounding)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.percentile("l_discount", F.lit(0.25)), 4).alias("p25_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-bucket LSH candidates,
+    cosine ≥ threshold verify — the vector flavor of the dedup family
+    (same bucket-join shape as minhash LSH, O(n·bucket) not O(n²))."""
+    from clinvar_ingest_spark.functions.similarity import cosine
+    from clinvar_ingest_spark.operators.ann import sign_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), 4).alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    )
+    return pairs
+
+
+_SQL_NEAR_DUP = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
 # =====================================================================
 # Remaining reference-parity operators.
 # =====================================================================
@@ -1244,6 +1345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_ratio": q_promo_revenue_ratio,
         "large_orders": q_large_orders,
         "sessionize_events": q_sessionize_events,
+        "rollup_totals": q_rollup_totals,
+        "quantity_percentiles": q_quantity_percentiles,
+        "embedding_near_dup": q_embedding_near_dup,
         "prioritized_lookup": q_prioritized_lookup,
         "synthetic_ids": q_synthetic_ids,
         "clean_empty_tokens": q_clean_empty_tokens,
@@ -1319,6 +1423,9 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "promo_revenue_ratio": _SQL_Q14,
         "large_orders": _SQL_Q18,
         "sessionize_events": _SQL_SESSIONIZE,
+        "rollup_totals": _SQL_ROLLUP,
+        "quantity_percentiles": _SQL_PERCENTILES,
+        "embedding_near_dup": _SQL_NEAR_DUP,
         "prioritized_lookup": _SQL_PRIORITIZED,
         "synthetic_ids": _SQL_SYNTHETIC_IDS,
         "clean_empty_tokens": _SQL_CLEAN_EMPTY,
