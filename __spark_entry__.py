@@ -1296,6 +1296,112 @@ FROM documents GROUP BY text ORDER BY keeper
 
 
 # =====================================================================
+# End-to-end CDC pipeline through the correctness gate: a change log
+# derived deterministically from the events table (so the oracle can
+# replay it in pure SQL) is ingested by the REAL merge/checkpoint
+# machinery; the returned DataFrame is the final table state.
+# events → log mapping: user_id → url (key), ts → warc_ts (version),
+# event_id → seq (tiebreak), event_type='error' → delete tombstone,
+# html = '<p>k<event_id> of user <user_id></p>'.
+# =====================================================================
+
+def _events_as_change_log(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+        F.lit("update")
+    )
+    html = F.when(
+        op != "delete",
+        F.encode(
+            F.concat(
+                F.lit("<p>k"), F.col("event_id").cast("string"),
+                F.lit(" of user "), F.col("user_id").cast("string"),
+                F.lit("</p>"),
+            ),
+            "UTF-8",
+        ),
+    )
+    return ev.select(
+        (F.col("user_id") % 4).cast("int").alias("part"),
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.concat(F.lit("https://site/u"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        html.alias("html"),
+    )
+
+
+def _run_cdc(spark, sf_dir, n_batches: int, resume_midway: bool = False):
+    import tempfile
+
+    from clinvar_ingest_spark.sources import ChangeLogSource
+    from clinvar_ingest_spark.streaming import IngestPipeline
+    from clinvar_ingest_spark.tables import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    log = _events_as_change_log(spark, sf_dir)
+    src = ChangeLogSource(log)
+    end = src.max_seq()
+    span = end // n_batches + 1
+    path = tempfile.mkdtemp(prefix="cdc_gate_")
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
+    pipe = IngestPipeline(spark, src, tbl)
+    if resume_midway:
+        ranges = src.plan_batches(-1, end, span)
+        pipe.run_batch(ranges[0], log_end_seq=end)
+        # fresh pipeline over the same table: resumes from the HWM in
+        # the last atomic commit — the driver gate thus checks
+        # checkpoint-resume equivalence, not just happy-path ingest
+        pipe = IngestPipeline(
+            spark, src, SnapshotTable(spark, path, key_col="url", n_buckets=16)
+        )
+    pipe.run_to_end(span=span, end_seq=end)
+    return pipe.current_state().select("url", "seq", "text").orderBy("url")
+
+
+def q_cdc_pipeline_state(spark, sf_dir):
+    """FULL pipeline (extract → LWW merge → tombstones → snapshot commit)
+    replayed in 3 batches; oracle replays the same semantics in SQL."""
+    return _run_cdc(spark, sf_dir, n_batches=3)
+
+
+def q_cdc_resume_state(spark, sf_dir):
+    """Same, but a fresh pipeline takes over after batch 1 (crash/resume
+    path) — must produce the identical final state."""
+    return _run_cdc(spark, sf_dir, n_batches=3, resume_midway=True)
+
+
+_SQL_CDC_STATE = """
+WITH log AS (
+  SELECT 'https://site/u' || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+)
+SELECT url, seq, text FROM winners
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY url
+"""
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 
@@ -1352,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synthetic_ids": q_synthetic_ids,
         "clean_empty_tokens": q_clean_empty_tokens,
         "to_json_rows": q_to_json_rows,
+        "cdc_pipeline_state": q_cdc_pipeline_state,
+        "cdc_resume_state": q_cdc_resume_state,
     }
 
 
@@ -1430,4 +1538,6 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "synthetic_ids": _SQL_SYNTHETIC_IDS,
         "clean_empty_tokens": _SQL_CLEAN_EMPTY,
         "to_json_rows": _SQL_TO_JSON,
+        "cdc_pipeline_state": _SQL_CDC_STATE,
+        "cdc_resume_state": _SQL_CDC_STATE,
     }
