@@ -54,12 +54,14 @@ class IngestPipeline:
         target: SnapshotTable,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         dedup_strategy: str = "window",
+        merge_mode: str = "cow",
     ):
         self.spark = spark
         self.source = source
         self.target = target
         self.transform = transform or self.default_transform
         self.dedup_strategy = dedup_strategy
+        self.merge_mode = merge_mode
 
     # ------------------------------------------------------------ transform
     @staticmethod
@@ -177,6 +179,7 @@ class IngestPipeline:
             properties=_props,
             dedup_strategy=self.dedup_strategy,
             post_merge_transform=self.transform,
+            merge_mode=self.merge_mode,
         )
         part_ranges = pr_result["ranges"]
         wall = time.monotonic() - t0

@@ -144,7 +144,13 @@ class SnapshotTable:
         Tombstone rows (``_deleted = true``) are retained in storage so
         that LWW across batches sees deletes (a late out-of-order older
         update must NOT resurrect a deleted key); they are filtered out
-        of reads unless ``include_deleted``."""
+        of reads unless ``include_deleted``.
+
+        A merge-on-read table (``read_mode == 'lww'`` in the manifest:
+        delta files appended by ``merge_upsert(merge_mode='mor')``)
+        resolves versions at read time with the same LWW dedup; every
+        version of a key lives in the same bucket, so the resolve is
+        bucket-local and prunes with the same manifest index."""
         m = snapshot or self.current_manifest()
         if m is None:
             raise ValueError(f"table {self.path} does not exist")
@@ -154,6 +160,13 @@ class SnapshotTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
+        if m.get("read_mode") == "lww":
+            df = lww_dedup(
+                df,
+                key_cols=(self.key_col,),
+                order_cols=m.get("order_cols", ["warc_ts", "seq"]),
+                strategy="max_by",
+            )
         if not include_deleted and DELETED_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df
@@ -175,6 +188,8 @@ class SnapshotTable:
         properties: dict[str, Any],
         parent: int,
         stats: dict[str, Any],
+        read_mode: str = "plain",
+        order_cols: list[str] | None = None,
     ) -> tuple[int, str]:
         os.makedirs(os.path.join(self.path, _MANIFESTS), exist_ok=True)
         sid = parent + 1
@@ -187,7 +202,10 @@ class SnapshotTable:
             "buckets": {str(b): f for b, f in sorted(buckets.items())},
             "properties": properties,
             "stats": stats,
+            "read_mode": read_mode,
         }
+        if order_cols:
+            manifest["order_cols"] = list(order_cols)
         name = f"m-{sid:08d}-{uuid.uuid4().hex[:8]}.json"
         mpath = os.path.join(self.path, _MANIFESTS, name)
         with open(mpath, "w") as f:
@@ -281,6 +299,7 @@ class SnapshotTable:
         dedup_strategy: str = "window",
         post_merge_transform=None,
         batch_stats: dict[str, Any] | None = None,
+        merge_mode: str = "cow",
     ) -> CommitResult:
         """MERGE the batch into the table with LWW semantics.
 
@@ -313,6 +332,13 @@ class SnapshotTable:
         "salted_window" or "max_by" (skew-proof variants; aggregates get
         map-side partial combine so hot keys pre-reduce per input
         partition).
+
+        ``merge_mode``: "cow" (above — touched buckets rewritten, reads
+        stay plain scans) or "mor" (merge-on-read — batch winners are
+        APPENDED as delta files per bucket, nothing is rewritten, and
+        reads LWW-resolve versions bucket-locally until ``compact()``
+        folds them; the scale path when uniform update keys would make
+        CoW rewrite the whole table every batch — see SCALE.md).
         """
         m = self.current_manifest()
         if m is None:
@@ -355,8 +381,58 @@ class SnapshotTable:
             touched = sorted(int(b) for b in batch_stats["touched"])
             n_up = int(batch_stats["n_upserts"])
             n_del = int(batch_stats["n_deletes"])
+        # --- merge-on-read: append batch winners as deltas, no rewrite
+        if merge_mode == "mor":
+            par = self.spark.sparkContext.defaultParallelism * 2
+            winners = lww_dedup(
+                batch.select(*data_cols, op_col).repartition(
+                    par, F.col(self.key_col)
+                )
+                if dedup_strategy == "window"
+                else batch.select(*data_cols, op_col),
+                key_cols=(self.key_col,),
+                order_cols=list(order_cols),
+                strategy=dedup_strategy,
+            )
+            if dedup_strategy != "window":
+                winners = winners.repartition(par)
+            survivors = winners.withColumn(
+                DELETED_COL, F.col(op_col) == F.lit(delete_op)
+            ).drop(op_col)
+            if post_merge_transform is not None:
+                survivors = post_merge_transform(survivors)
+                for f in survivors.schema.fields:
+                    if f.name not in data_cols and f.name != DELETED_COL:
+                        data_cols.append(f.name)
+            evolved = T.StructType(
+                [f for f in target_schema.fields if f.name != DELETED_COL]
+                + [f for f in survivors.schema.fields
+                   if f.name not in target_schema.names and f.name != DELETED_COL]
+                + [T.StructField(DELETED_COL, T.BooleanType())]
+            )
+            new_files = self._write_buckets(
+                survivors.select(*data_cols, DELETED_COL), m["snapshot_id"] + 1
+            )
+            buckets = {int(b): list(f) for b, f in m["buckets"].items()}
+            for b, files in new_files.items():
+                buckets.setdefault(b, [])
+                buckets[b] = buckets[b] + files  # APPEND, never replace
+            props = dict(m.get("properties", {}))
+            props.update(
+                properties() if callable(properties) else (properties or {})
+            )
+            n_after = _footer_rows([f for fs in buckets.values() for f in fs])
+            sid, mp = self._commit(
+                buckets, evolved, props, m["snapshot_id"],
+                {"n_rows_raw": n_after},
+                read_mode="lww", order_cols=list(order_cols),
+            )
+            return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
+
         # Tombstones MUST take part in the merge: a late out-of-order
         # older update loses LWW against a stored delete and stays dead.
+        # (On a merge-on-read table this read LWW-resolves the touched
+        # buckets, so a CoW batch progressively folds MoR deltas.)
         pruned_target = self.read(
             buckets=touched, snapshot=m, include_deleted=True
         )
@@ -437,6 +513,10 @@ class SnapshotTable:
             props,
             m["snapshot_id"],
             {"n_rows": n_after},
+            # sticky: a CoW batch on a MoR table resolves only the
+            # touched buckets, the rest may still be multi-version
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"),
         )
         return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
@@ -467,9 +547,18 @@ class SnapshotTable:
             buckets[b] = new_files.get(b, [])
         buckets = {b: f for b, f in buckets.items() if f}
         n = _footer_rows([f for fs in buckets.values() for f in fs])
+        # MoR resolution: read() LWW-resolved the fat buckets before the
+        # rewrite; single-file buckets hold one version per key by
+        # construction (each delta file is one batch's deduped winners),
+        # so full compaction returns the table to plain-scan reads.
+        if max_files_per_bucket == 1:
+            read_mode = "plain"
+        else:
+            read_mode = m.get("read_mode", "plain")
         sid, mp = self._commit(
             buckets, T.StructType.fromJson(m["schema"]),
             dict(m.get("properties", {})), m["snapshot_id"], {"n_rows": n},
+            read_mode=read_mode, order_cols=m.get("order_cols"),
         )
         return CommitResult(sid, mp, fat, 0, 0, n, m.get("properties", {}))
 

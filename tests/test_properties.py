@@ -57,7 +57,7 @@ def simulate(events):
     }
 
 
-def run_engine(spark, tmpdir, events, splits, strategy):
+def run_engine(spark, tmpdir, events, splits, strategy, merge_mode="cow"):
     rows = [
         (
             0,
@@ -73,7 +73,10 @@ def run_engine(spark, tmpdir, events, splits, strategy):
         rows, "part int, seq long, op string, url string, warc_ts timestamp, html binary"
     )
     tbl = SnapshotTable(spark, tmpdir, "url", 4).create(PAGES)
-    pipe = IngestPipeline(spark, ChangeLogSource(log), tbl, dedup_strategy=strategy)
+    pipe = IngestPipeline(
+        spark, ChangeLogSource(log), tbl,
+        dedup_strategy=strategy, merge_mode=merge_mode,
+    )
     lo = -1
     for hi in sorted({min(s, len(events) - 1) for s in splits} | {len(events) - 1}):
         if hi > lo:
@@ -84,7 +87,15 @@ def run_engine(spark, tmpdir, events, splits, strategy):
     }
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted_window", "max_by"])
+@pytest.mark.parametrize(
+    "strategy,merge_mode",
+    [
+        ("window", "cow"),
+        ("salted_window", "cow"),
+        ("max_by", "cow"),
+        ("window", "mor"),
+    ],
+)
 @settings(
     max_examples=6,
     deadline=None,
@@ -94,7 +105,9 @@ def run_engine(spark, tmpdir, events, splits, strategy):
     events=events_strategy,
     splits=st.sets(st.integers(min_value=0, max_value=11), max_size=3),
 )
-def test_engine_equals_simulation(spark, tmp_path_factory, events, splits, strategy):
+def test_engine_equals_simulation(
+    spark, tmp_path_factory, events, splits, strategy, merge_mode
+):
     tmpdir = str(tmp_path_factory.mktemp("prop"))
-    got = run_engine(spark, tmpdir, events, splits, strategy)
+    got = run_engine(spark, tmpdir, events, splits, strategy, merge_mode)
     assert got == simulate(events)
