@@ -42,7 +42,7 @@ def test_torn_commit_is_invisible_and_heals(spark, tmp_path, monkeypatch):
     # the process dies before the pointer swap
     orig_commit = SnapshotTable._commit
 
-    def dying_commit(self, buckets, schema, properties, parent, stats):
+    def dying_commit(self, buckets, schema, properties, parent, stats, **kw):
         # reproduce everything _commit does EXCEPT the os.replace swap
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
         sid = parent + 1
