@@ -1331,7 +1331,10 @@ def _events_as_change_log(spark, sf_dir):
     )
 
 
-def _run_cdc(spark, sf_dir, n_batches: int, resume_midway: bool = False):
+def _run_cdc(
+    spark, sf_dir, n_batches: int, resume_midway: bool = False,
+    merge_mode: str = "cow",
+):
     import tempfile
 
     from clinvar_ingest_spark.sources import ChangeLogSource
@@ -1354,7 +1357,7 @@ def _run_cdc(spark, sf_dir, n_batches: int, resume_midway: bool = False):
     span = end // n_batches + 1
     path = tempfile.mkdtemp(prefix="cdc_gate_")
     tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
-    pipe = IngestPipeline(spark, src, tbl)
+    pipe = IngestPipeline(spark, src, tbl, merge_mode=merge_mode)
     if resume_midway:
         ranges = src.plan_batches(-1, end, span)
         pipe.run_batch(ranges[0], log_end_seq=end)
@@ -1362,7 +1365,8 @@ def _run_cdc(spark, sf_dir, n_batches: int, resume_midway: bool = False):
         # the last atomic commit — the driver gate thus checks
         # checkpoint-resume equivalence, not just happy-path ingest
         pipe = IngestPipeline(
-            spark, src, SnapshotTable(spark, path, key_col="url", n_buckets=16)
+            spark, src, SnapshotTable(spark, path, key_col="url", n_buckets=16),
+            merge_mode=merge_mode,
         )
     pipe.run_to_end(span=span, end_seq=end)
     return pipe.current_state().select("url", "seq", "text").orderBy("url")
@@ -1378,6 +1382,13 @@ def q_cdc_resume_state(spark, sf_dir):
     """Same, but a fresh pipeline takes over after batch 1 (crash/resume
     path) — must produce the identical final state."""
     return _run_cdc(spark, sf_dir, n_batches=3, resume_midway=True)
+
+
+def q_cdc_mor_state(spark, sf_dir):
+    """Same replay through merge-on-read (append-only deltas, LWW at
+    read, no rewrites) — identical oracle, so the driver gate proves
+    CoW/MoR equivalence."""
+    return _run_cdc(spark, sf_dir, n_batches=3, merge_mode="mor")
 
 
 _SQL_CDC_STATE = """
@@ -1460,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_json_rows": q_to_json_rows,
         "cdc_pipeline_state": q_cdc_pipeline_state,
         "cdc_resume_state": q_cdc_resume_state,
+        "cdc_mor_state": q_cdc_mor_state,
     }
 
 
@@ -1540,4 +1552,5 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "to_json_rows": _SQL_TO_JSON,
         "cdc_pipeline_state": _SQL_CDC_STATE,
         "cdc_resume_state": _SQL_CDC_STATE,
+        "cdc_mor_state": _SQL_CDC_STATE,
     }

@@ -101,7 +101,10 @@ def gen_log(spark, n_events: int, workdir: str) -> str:
     return log_path
 
 
-def run_ingest(spark, n_events: int, workdir: str, tag: str) -> float:
+def run_ingest(
+    spark, n_events: int, workdir: str, tag: str,
+    merge_mode: str = "cow", span: int | None = None,
+) -> float:
     """Full pipeline on the materialized log; returns events/sec."""
     from clinvar_ingest_spark.sources import ChangeLogSource
     from clinvar_ingest_spark.streaming import IngestPipeline
@@ -114,12 +117,16 @@ def run_ingest(spark, n_events: int, workdir: str, tag: str) -> float:
         _pages_schema()
     )
     src = ChangeLogSource(spark.read.parquet(log_path))
-    pipe = IngestPipeline(spark, src, tbl, dedup_strategy="window")
+    pipe = IngestPipeline(
+        spark, src, tbl, dedup_strategy="window", merge_mode=merge_mode
+    )
     t0 = time.monotonic()
-    # catch-up replay mode: one offset range covering the backlog
-    # (availableNow semantics); micro-batch cadence overhead is
+    # default: catch-up replay mode — one offset range covering the
+    # backlog (availableNow semantics); micro-batch cadence overhead is
     # characterized separately in BENCH.md ("per-batch floor")
-    pipe.run_to_end(span=int(os.environ.get("BENCH_SPAN", str(n_events))))
+    pipe.run_to_end(
+        span=span or int(os.environ.get("BENCH_SPAN", str(n_events)))
+    )
     wall = time.monotonic() - t0
     return n_events / wall
 
@@ -158,6 +165,15 @@ def main():
         qtimes = run_queries(spark)
         _warmup(spark, workdir, "peak")
         eps_peak = run_ingest(spark, INGEST_EVENTS, workdir, "peak")
+        # micro-batch cadence comparison: CoW vs merge-on-read at 8
+        # batches (the write-amplification scenario, BENCH.md)
+        eps_cow8 = run_ingest(
+            spark, INGEST_EVENTS, workdir, "cow8", span=INGEST_EVENTS // 8
+        )
+        eps_mor8 = run_ingest(
+            spark, INGEST_EVENTS, workdir, "mor8",
+            merge_mode="mor", span=INGEST_EVENTS // 8,
+        )
         spark.stop()
 
         eps_lo = eps_hi = eff = None
@@ -188,6 +204,8 @@ def main():
                 "n_events": INGEST_EVENTS,
                 "events_per_sec_peak": round(eps_peak, 1),
                 "cores_peak": CPUS,
+                "events_per_sec_cow_8batches": round(eps_cow8, 1),
+                "events_per_sec_mor_8batches": round(eps_mor8, 1),
                 "events_per_sec_hi": round(eps_hi, 1) if eps_hi else None,
                 "events_per_sec_lo": round(eps_lo, 1) if eps_lo else None,
                 "cores_hi": CORES_HI,
