@@ -1321,11 +1321,15 @@ def _events_as_change_log(spark, sf_dir):
             "UTF-8",
         ),
     )
+    url = F.concat(
+        F.lit("https://d"), (F.col("user_id") % 7).cast("string"),
+        F.lit(".site/u"), F.col("user_id").cast("string"),
+    )
     return ev.select(
         (F.col("user_id") % 4).cast("int").alias("part"),
         F.col("event_id").alias("seq"),
         op.alias("op"),
-        F.concat(F.lit("https://site/u"), F.col("user_id").cast("string")).alias("url"),
+        url.alias("url"),
         F.col("ts").alias("warc_ts"),
         html.alias("html"),
     )
@@ -1391,9 +1395,53 @@ def q_cdc_mor_state(spark, sf_dir):
     return _run_cdc(spark, sf_dir, n_batches=3, merge_mode="mor")
 
 
+def q_cdc_domain_stats(spark, sf_dir):
+    """Normalization fan-out (the reference's disassemble,
+    variation_archive.py:1196-1225): per-domain entity table derived
+    from the ingested state — run through the real pipeline, then the
+    derivation; the oracle replays log → LWW → rollup in SQL."""
+    from clinvar_ingest_spark.operators.normalize import derive_domain_stats
+
+    state = _run_cdc(spark, sf_dir, n_batches=2)
+    # _run_cdc returns (url, seq, text); re-derive warc_ts-free stats
+    return (
+        derive_domain_stats(
+            state.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        )
+        .select("domain", "n_pages", "total_text_chars", "max_seq")
+        .orderBy("domain")
+    )
+
+
+_SQL_CDC_DOMAIN_STATS = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+state AS (SELECT url, seq, text FROM winners WHERE rn = 1 AND op <> 'delete')
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       count(*) AS n_pages,
+       sum(length(text)) AS total_text_chars,
+       max(seq) AS max_seq
+FROM state GROUP BY 1 ORDER BY 1
+"""
+
+
 _SQL_CDC_STATE = """
 WITH log AS (
-  SELECT 'https://site/u' || CAST(user_id AS VARCHAR) AS url,
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
          ts AS warc_ts, event_id AS seq,
          CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
          'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
@@ -1472,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pipeline_state": q_cdc_pipeline_state,
         "cdc_resume_state": q_cdc_resume_state,
         "cdc_mor_state": q_cdc_mor_state,
+        "cdc_domain_stats": q_cdc_domain_stats,
     }
 
 
@@ -1553,4 +1602,5 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_pipeline_state": _SQL_CDC_STATE,
         "cdc_resume_state": _SQL_CDC_STATE,
         "cdc_mor_state": _SQL_CDC_STATE,
+        "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
     }
