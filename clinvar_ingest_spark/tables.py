@@ -137,6 +137,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         snapshot: dict[str, Any] | None = None,
         include_deleted: bool = False,
+        resolve: bool = True,
     ) -> DataFrame:
         """Current state. ``buckets`` prunes to the named buckets only —
         the manifest is the engine's partition-pruning index.
@@ -160,7 +161,7 @@ class SnapshotTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
-        if m.get("read_mode") == "lww":
+        if resolve and m.get("read_mode") == "lww":
             df = lww_dedup(
                 df,
                 key_cols=(self.key_col,),
@@ -168,6 +169,8 @@ class SnapshotTable:
                 strategy="max_by",
             )
         if not include_deleted and DELETED_COL in df.columns:
+            # NB: must run AFTER the LWW resolve — filtering tombstones
+            # first would let an older stored update win against them
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df
 
@@ -431,10 +434,12 @@ class SnapshotTable:
 
         # Tombstones MUST take part in the merge: a late out-of-order
         # older update loses LWW against a stored delete and stays dead.
-        # (On a merge-on-read table this read LWW-resolves the touched
-        # buckets, so a CoW batch progressively folds MoR deltas.)
+        # On a merge-on-read table the target is read UNRESOLVED
+        # (resolve=False): the merge's own LWW over {target ∪ batch}
+        # subsumes the read-time resolve — one window, not two — and
+        # still folds the touched buckets' deltas into the rewrite.
         pruned_target = self.read(
-            buckets=touched, snapshot=m, include_deleted=True
+            buckets=touched, snapshot=m, include_deleted=True, resolve=False
         )
         for f in new_fields:
             pruned_target = pruned_target.withColumn(
