@@ -55,6 +55,7 @@ class IngestPipeline:
         transform: Callable[[DataFrame], DataFrame] | None = None,
         dedup_strategy: str = "window",
         merge_mode: str = "cow",
+        derived: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -62,6 +63,10 @@ class IngestPipeline:
         self.transform = transform or self.default_transform
         self.dedup_strategy = dedup_strategy
         self.merge_mode = merge_mode
+        # normalization fan-out (reference disassemble → entity tables,
+        # parse.py:232-252): name → derivation over the pages state,
+        # refreshed after every applied batch into <table>__<name>
+        self.derived = derived or {}
 
     # ------------------------------------------------------------ transform
     @staticmethod
@@ -224,10 +229,43 @@ class IngestPipeline:
             "batch_id long, n_events long, wall_sec double, "
             "events_per_sec double, lag_events long",
         )
+        if self.derived:
+            self.refresh_derived()
         return BatchReport(
             batch_id, rng.lo, rng.hi, False, res.snapshot_id,
             res.n_upserts, res.n_deletes, wall, eps,
         )
+
+    def refresh_derived(self) -> dict[str, int]:
+        """Rewrite every derived entity table from the current state
+        (materialized-view refresh; one cached state scan fans out to
+        all derivations). Idempotent — re-running after a crash simply
+        rewrites the same views, so exactly-once needs no extra fence."""
+        from clinvar_ingest_spark.tables import SnapshotTable
+
+        state = self.current_state().persist()
+        out = {}
+        try:
+            for name, fn in self.derived.items():
+                df = fn(state)
+                key = df.columns[0]
+                tbl = SnapshotTable(
+                    self.spark, f"{self.target.path}__{name}", key_col=key,
+                    n_buckets=8,
+                )
+                res = tbl.overwrite(
+                    df, properties={"source_snapshot": self.target.snapshot_id()}
+                )
+                out[name] = res.n_rows_after
+        finally:
+            state.unpersist()
+        return out
+
+    def derived_table(self, name: str):
+        from clinvar_ingest_spark.tables import SnapshotTable
+
+        tbl = SnapshotTable(self.spark, f"{self.target.path}__{name}")
+        return tbl.read().drop("_bucket", "_deleted")
 
     def run_to_end(self, span: int, end_seq: int | None = None) -> list[BatchReport]:
         """Tail the log to its end (availableNow semantics), resuming
