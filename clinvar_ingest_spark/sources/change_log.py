@@ -27,6 +27,46 @@ class OffsetRange:
     hi: int  # inclusive
 
 
+def from_kafka_shape(
+    kafka_df: DataFrame,
+    n_partitions: int,
+    value_schema: str = (
+        "op string, url string, warc_ts timestamp, html string, lang string"
+    ),
+) -> DataFrame:
+    """Adapt a Kafka-source DataFrame to the change-log contract.
+
+    Spark's Kafka source yields (key, value, topic, partition, offset,
+    timestamp, ...); the reference's FTP-watcher messages are JSON
+    values on such a topic (misc/re-run/read-topic.py:47-81). Mapping:
+
+    * ``part`` = partition; ``seq`` = ``offset·n_partitions +
+      partition`` — Kafka offsets are only *per-partition* monotonic
+      and collide across partitions, so the interleave gives the
+      globally-unique, per-partition-order-preserving total order the
+      offset-range batcher needs (a deployment batching by native
+      per-partition offset ranges would instead drive the per-part HWM
+      map directly — the checkpoint already tracks it);
+    * JSON value → payload columns; ``html`` rides base64 in JSON
+      (binary isn't JSON-native) and is decoded back to bytes here.
+
+    Works identically on real ``spark.read(.readStream)
+    .format("kafka")`` output and on any test DataFrame with the same
+    columns.
+    """
+    payload = F.from_json(F.col("value").cast("string"), value_schema)
+    seq = F.col("offset").cast("long") * n_partitions + F.col("partition")
+    return kafka_df.select(
+        F.col("partition").cast("int").alias("part"),
+        seq.alias("seq"),
+        payload["op"].alias("op"),
+        payload["url"].alias("url"),
+        payload["warc_ts"].alias("warc_ts"),
+        F.unbase64(payload["html"]).alias("html"),
+        payload["lang"].alias("lang"),
+    )
+
+
 class ChangeLogSource:
     def __init__(self, log: DataFrame, seq_col: str = "seq", part_col: str = "part"):
         self.log = log
