@@ -178,16 +178,27 @@ def main():
 
         eps_lo = eps_hi = eff = None
         if os.environ.get("BENCH_SKIP_SCALING") != "1":
-            # low level FIRST; each level gets its own warmup so residual
-            # JVM warmth favors neither side
-            spark_lo = _session(CORES_LO)
-            _warmup(spark_lo, workdir, "lo")
-            eps_lo = run_ingest(spark_lo, INGEST_EVENTS, workdir, "lo")
-            spark_lo.stop()
-            spark_hi = _session(CORES_HI)
-            _warmup(spark_hi, workdir, "hi")
-            eps_hi = run_ingest(spark_hi, INGEST_EVENTS, workdir, "hi")
-            spark_hi.stop()
+            # Host noise on this shared VM comes in multi-minute
+            # episodes (observed 2-7x throughput swings), so the legs
+            # are INTERLEAVED across rounds — an episode then degrades
+            # one attempt of each leg equally instead of both attempts
+            # of one leg — and each leg keeps its best attempt (the
+            # least-contaminated estimate of engine capability at that
+            # parallelism). Low level first within a round so residual
+            # JVM warmth favors neither side.
+            rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+            best = {CORES_LO: 0.0, CORES_HI: 0.0}
+            for r in range(rounds):
+                for cores in (CORES_LO, CORES_HI):
+                    s = _session(cores)
+                    if r == 0:
+                        _warmup(s, workdir, f"c{cores}")
+                    eps = run_ingest(
+                        s, INGEST_EVENTS, workdir, f"c{cores}_r{r}"
+                    )
+                    best[cores] = max(best[cores], eps)
+                    s.stop()
+            eps_lo, eps_hi = best[CORES_LO], best[CORES_HI]
             # efficiency of scaling from N=CORES_LO to 4N=CORES_HI
             eff = eps_hi / ((CORES_HI / CORES_LO) * eps_lo)
     finally:
