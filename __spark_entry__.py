@@ -390,17 +390,24 @@ def q_user_event_type_sets(spark, sf_dir):
     """Per-user sorted distinct event types + id-array building
     (variation_archive.py:371-373 collect-ids analog)."""
     ev = _t(spark, sf_dir, "events")
+    # Output the set as a '|'-joined string: the driver canonicalizer
+    # hashes scalar columns only (arrays are unhashable in its pandas
+    # sort path); the set semantics live in the query body regardless.
     return (
         ev.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
-        .select("user_id", "types", F.size("types").alias("n_types"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("type_arr"))
+        .select(
+            "user_id",
+            F.array_join("type_arr", "|").alias("types"),
+            F.size("type_arr").alias("n_types"),
+        )
         .orderBy("user_id")
     )
 
 
 _SQL_TYPE_SETS = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
        len(list(DISTINCT event_type)) AS n_types
 FROM events GROUP BY user_id ORDER BY user_id
 """
@@ -414,11 +421,15 @@ def q_array_overlap(spark, sf_dir):
         F.array_sort(F.collect_set("event_type")).alias("types")
     )
     probe = F.array(F.lit("signup"), F.lit("error"))
+    # String-join the intersection for the driver hasher (arrays are
+    # unhashable there); intersect/overlap semantics stay array-native.
     return (
         sets.select(
             "user_id",
             F.arrays_overlap("types", probe).alias("hits_probe"),
-            F.array_sort(F.array_intersect("types", probe)).alias("common"),
+            F.array_join(
+                F.array_sort(F.array_intersect("types", probe)), "|"
+            ).alias("common"),
         )
         .orderBy("user_id")
     )
@@ -431,7 +442,8 @@ WITH sets AS (
 )
 SELECT user_id,
        len(list_intersect(types, ['signup','error'])) > 0 AS hits_probe,
-       list_sort(list_intersect(types, ['signup','error'])) AS common
+       array_to_string(list_sort(list_intersect(types, ['signup','error'])), '|')
+         AS common
 FROM sets ORDER BY user_id
 """
 
@@ -765,10 +777,10 @@ def q_priority_shipmode_matrix(spark, sf_dir):
 
 _SQL_Q12 = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus ORDER BY l_linestatus
 """
@@ -1432,7 +1444,7 @@ winners AS (
 state AS (SELECT url, seq, text FROM winners WHERE rn = 1 AND op <> 'delete')
 SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
        count(*) AS n_pages,
-       sum(length(text)) AS total_text_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
        max(seq) AS max_seq
 FROM state GROUP BY 1 ORDER BY 1
 """

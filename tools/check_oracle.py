@@ -71,6 +71,21 @@ def main():
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
+            # Driver-hasher mimic: the driver canonicalizes with pandas
+            # sort_values over every column — array/map/struct outputs
+            # crash it (unhashable list). Flag them here so the failure
+            # surfaces locally, not in CORRECTNESS_r{N}.json.
+            complex_cols = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols and name in oracles:
+                print(
+                    f"{name:34s} DRIVER-HASH RISK: complex output cols "
+                    f"{complex_cols} — array_join/to_json them"
+                )
+                failed.append(name)
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
@@ -83,6 +98,20 @@ def main():
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
+            # Driver-hasher mimic: DuckDB sum(int) yields HUGEINT
+            # (int128) which pandas renders as object → value-hash
+            # mismatch vs Spark BIGINT even when values are equal.
+            hugeint_cols = [
+                d[0] for d in res.description
+                if str(d[1]).upper() in ("HUGEINT", "INT128")
+            ]
+            if hugeint_cols:
+                print(
+                    f"{name:34s} DRIVER-HASH RISK: oracle HUGEINT cols "
+                    f"{hugeint_cols} — CAST(... AS BIGINT) in the SQL"
+                )
+                failed.append(name)
+                continue
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name:34s} DUCKDB ERROR: {e}")
