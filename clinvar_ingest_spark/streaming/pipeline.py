@@ -119,6 +119,61 @@ class IngestPipeline:
         )
         pq.write_table(table, f"{path}/part-0.parquet")
 
+    def ensure_sidecars(self) -> list[int]:
+        """Self-heal sidecars: rebuild lineage/metrics rows for any
+        committed batch whose sidecar files are missing (crash after the
+        atomic snapshot commit but before the sidecar write).
+
+        The manifest chain is the source of truth: each ingest commit's
+        properties carry (batch_id, global_hwm), so a missing batch's
+        offset range is (parent's global_hwm, own global_hwm] and its
+        per-partition lineage rows are recomputed by replaying that
+        range from the log — the same deterministic scan the original
+        batch ran. Recovered metrics rows carry wall_sec=0 (the original
+        timing is gone); lag is recomputed against the current log end.
+        Returns the healed batch_ids."""
+        commits = []  # (batch_id, lo, hi, snapshot_id) per ingest commit
+        prev_hwm, prev_bid = -1, -1
+        for name in self.target.history():
+            m = self.target._load_manifest(name)
+            props = m.get("properties", {})
+            bid = int(props.get("batch_id", -1))
+            hwm = int(props.get("global_hwm", -1))
+            if bid > prev_bid:
+                commits.append((bid, prev_hwm, hwm, m["snapshot_id"]))
+            prev_hwm, prev_bid = max(hwm, prev_hwm), max(bid, prev_bid)
+        healed = []
+        end = self.source.max_seq()
+        for bid, lo, hi, snap in commits:
+            lineage_ok = os.path.exists(
+                f"{self.target.path}/_lineage/batch={bid}/part-0.parquet"
+            )
+            metrics_ok = os.path.exists(
+                f"{self.target.path}/_metrics/batch={bid}/part-0.parquet"
+            )
+            if lineage_ok and metrics_ok:
+                continue
+            prs = self.source.part_ranges(self.source.batch(OffsetRange(lo, hi)))
+            if not lineage_ok:
+                self._side_write(
+                    "lineage", bid,
+                    [{"batch_id": bid, "part": pr["part"],
+                      "seq_lo": pr["seq_lo"], "seq_hi": pr["seq_hi"],
+                      "snapshot_id": snap, "n_rows": pr["n_rows"]}
+                     for pr in prs],
+                    "",
+                )
+            if not metrics_ok:
+                n_events = sum(pr["n_rows"] for pr in prs)
+                self._side_write(
+                    "metrics", bid,
+                    [{"batch_id": bid, "n_events": n_events, "wall_sec": 0.0,
+                      "events_per_sec": 0.0, "lag_events": end - hi}],
+                    "",
+                )
+            healed.append(bid)
+        return healed
+
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.target.path}/_lineage/batch=*")
 
@@ -136,7 +191,10 @@ class IngestPipeline:
         hwm = self.global_hwm()
         if rng.hi <= hwm:
             # Fencing: already committed (reference analog: skip-existing
-            # copy, workflow.py:211-224; started-row check).
+            # copy, workflow.py:211-224; started-row check). A skipped
+            # range means a prior run committed it — heal any sidecar
+            # rows that crash lost after that commit.
+            self.ensure_sidecars()
             return BatchReport(self.last_batch_id(), rng.lo, rng.hi, skipped=True)
         if rng.lo != hwm:
             raise ValueError(
@@ -156,16 +214,27 @@ class IngestPipeline:
         pr_result: dict = {}
 
         def _collect_ranges():
-            pr_result["ranges"] = self.source.part_ranges(raw)
+            try:
+                pr_result["ranges"] = self.source.part_ranges(raw)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                pr_result["error"] = exc
 
         th = threading.Thread(target=_collect_ranges, daemon=True)
         th.start()
+
+        def _ranges():
+            th.join()
+            if "error" in pr_result:
+                raise RuntimeError(
+                    "lineage part-ranges job failed"
+                ) from pr_result["error"]
+            return pr_result["ranges"]
 
         def _props():
             # evaluated by merge_upsert right before the atomic pointer
             # swap (after the bucket write): the per-part HWMs still land
             # in the SAME commit as the data — exactly-once preserved.
-            th.join()
+            _ranges()
             hwm_by_part = self.checkpoints()
             for pr in pr_result["ranges"]:
                 hwm_by_part[str(pr["part"])] = max(
@@ -186,7 +255,7 @@ class IngestPipeline:
             post_merge_transform=self.transform,
             merge_mode=self.merge_mode,
         )
-        part_ranges = pr_result["ranges"]
+        part_ranges = _ranges()
         wall = time.monotonic() - t0
         n_events = sum(pr["n_rows"] for pr in part_ranges)
 

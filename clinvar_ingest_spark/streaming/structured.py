@@ -40,21 +40,32 @@ class StreamingIngest:
         self.checkpoint_dir = checkpoint_dir
         self.transform = transform or IngestPipeline.default_transform
         self.dedup_strategy = dedup_strategy
+        self._run_token: str | None = None
 
     def _apply_batch(self, batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
-        # epoch_id is Spark's replay-stable micro-batch id; if this epoch
-        # already committed (crash between sink write and checkpoint
-        # advance), skip — idempotent re-delivery.
+        # Epoch fencing is scoped to THIS run: epoch_id is only monotonic
+        # within one streaming run, and a restart against a new/deleted
+        # checkpointLocation resets it to 0 — a table-lifetime fence
+        # would then silently skip every re-delivered micro-batch until
+        # epoch_id caught up (data loss). So the fence key is
+        # (run_token, epoch_id): same-run duplicate applies (crash
+        # between sink write and checkpoint advance) are skipped fast;
+        # cross-run re-deliveries fall through to the merge, whose LWW
+        # over {stored ∪ batch} makes the re-apply a no-op — exactly-once
+        # via idempotent apply, the standard foreachBatch recipe.
         props = self.target.properties()
-        if int(props.get("stream_epoch", -1)) >= epoch_id:
+        if (
+            props.get("stream_run") == self._run_token
+            and int(props.get("stream_epoch", -1)) >= epoch_id
+        ):
             return
         self.target.merge_upsert(
             batch_df.drop("part"),
             order_cols=("warc_ts", "seq"),
             op_col="op",
-            properties={"stream_epoch": epoch_id},
+            properties={"stream_epoch": epoch_id, "stream_run": self._run_token},
             dedup_strategy=self.dedup_strategy,
             post_merge_transform=self.transform,
         )
@@ -62,6 +73,9 @@ class StreamingIngest:
     def run_available_now(self, source_dir: str, schema) -> None:
         """Drain everything currently in the log directory, then stop
         (Trigger.AvailableNow) — the streaming analog of run_to_end."""
+        import uuid
+
+        self._run_token = uuid.uuid4().hex
         stream = (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 16)

@@ -30,6 +30,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -43,8 +44,18 @@ from clinvar_ingest_spark.operators.dedup import lww_dedup
 _PTR = "_ptr"
 _MANIFESTS = "_manifests"
 _DATA = "data"
+_LOCK = "_commit.lock"
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed between our snapshot read and our commit.
+
+    Iceberg commits are CAS-with-retry on the catalog pointer; this is
+    the CAS-failure signal. Callers may retry by re-reading the table
+    and re-running their merge (the merge is LWW-idempotent, so a retry
+    over the new parent converges to the same state)."""
 
 
 def bucket_expr(key_col: str, n_buckets: int):
@@ -98,13 +109,21 @@ class SnapshotTable:
     def exists(self) -> bool:
         return os.path.exists(self._ptr_path())
 
-    def current_manifest(self) -> dict[str, Any] | None:
+    def _read_ptr(self) -> str | None:
         if not self.exists():
             return None
         with open(self._ptr_path()) as f:
-            name = f.read().strip()
+            return f.read().strip()
+
+    def _load_manifest(self, name: str) -> dict[str, Any]:
         with open(os.path.join(self.path, _MANIFESTS, name)) as f:
-            return json.load(f)
+            m = json.load(f)
+        m["_name"] = name  # in-memory only; _commit builds a fresh dict
+        return m
+
+    def current_manifest(self) -> dict[str, Any] | None:
+        name = self._read_ptr()
+        return None if name is None else self._load_manifest(name)
 
     def snapshot_id(self) -> int:
         m = self.current_manifest()
@@ -121,8 +140,46 @@ class SnapshotTable:
         return {} if m is None else m.get("properties", {})
 
     def history(self) -> list[str]:
+        """Manifest names of COMMITTED snapshots, root→current, resolved
+        by walking ``parent_name`` links from the current pointer — an
+        orphan manifest (crash between manifest write and pointer swap)
+        is unreachable from the pointer and never surfaces here, even
+        though its snapshot_id collides with the next real commit.
+        Pre-upgrade manifests lacking ``parent_name`` fall back to a
+        name-sorted directory listing."""
+        name = self._read_ptr()
+        if name is None:
+            return []
+        chain: list[str] = []
+        while name is not None:
+            chain.append(name)
+            m = self._load_manifest(name)
+            if "parent_name" not in m:  # legacy manifest: no chain info
+                d = os.path.join(self.path, _MANIFESTS)
+                legacy = sorted(os.listdir(d))
+                return legacy[: legacy.index(chain[0]) ] + list(reversed(chain))
+            name = m["parent_name"]
+        return list(reversed(chain))
+
+    def _gc_orphan_manifests(self, chain_head: str) -> None:
+        """Drop manifests unreachable from the committed chain (torn
+        commits); runs inside the commit lock so no concurrent writer's
+        in-flight manifest can be swept."""
         d = os.path.join(self.path, _MANIFESTS)
-        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+        reachable = set()
+        name: str | None = chain_head
+        while name is not None:
+            reachable.add(name)
+            m = self._load_manifest(name)
+            name = m.get("parent_name")
+            if name is None and "parent_name" not in m:
+                return  # legacy chain: can't prove orphan-ness, keep all
+        for f in os.listdir(d):
+            if f not in reachable:
+                try:
+                    os.unlink(os.path.join(d, f))
+                except OSError:
+                    pass
 
     # ------------------------------------------------------------------ read
     def _files(self, manifest: dict[str, Any], buckets: list[int] | None = None):
@@ -174,14 +231,18 @@ class SnapshotTable:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df
 
+    def manifest_at(self, snapshot_id: int) -> dict[str, Any]:
+        """Resolve a snapshot id through the committed parent chain only
+        — an orphan manifest with a colliding id is never returned."""
+        for name in self.history():
+            m = self._load_manifest(name)
+            if m["snapshot_id"] == snapshot_id:
+                return m
+        raise ValueError(f"snapshot {snapshot_id} not found in {self.path}")
+
     def read_at(self, snapshot_id: int) -> DataFrame:
         """Time travel: read the table as of an older snapshot."""
-        for name in self.history():
-            with open(os.path.join(self.path, _MANIFESTS, name)) as f:
-                m = json.load(f)
-            if m["snapshot_id"] == snapshot_id:
-                return self.read(snapshot=m)
-        raise ValueError(f"snapshot {snapshot_id} not found in {self.path}")
+        return self.read(snapshot=self.manifest_at(snapshot_id))
 
     # ----------------------------------------------------------------- write
     def _commit(
@@ -193,12 +254,25 @@ class SnapshotTable:
         stats: dict[str, Any],
         read_mode: str = "plain",
         order_cols: list[str] | None = None,
+        parent_name: str | None = None,
     ) -> tuple[int, str]:
+        """Commit = CAS on the pointer (Iceberg catalog analog).
+
+        The swap itself is atomic (``os.replace``); conflict detection
+        makes it a compare-and-swap: under a short-lived lock file we
+        re-read the pointer and fail with :class:`CommitConflictError`
+        if it no longer names the parent manifest this commit was
+        planned against — two concurrent writers (ingest racing a
+        compaction, say) can both *plan* from snapshot N but only one
+        commits N+1; the loser must re-read and retry. Manifests written
+        by a commit that lost the race (or crashed pre-swap) are orphans:
+        unreachable from the pointer chain and GC'd here."""
         os.makedirs(os.path.join(self.path, _MANIFESTS), exist_ok=True)
         sid = parent + 1
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
+            "parent_name": parent_name,
             "key_col": self.key_col,
             "n_buckets": self.n_buckets,
             "schema": schema.jsonValue(),
@@ -211,13 +285,40 @@ class SnapshotTable:
             manifest["order_cols"] = list(order_cols)
         name = f"m-{sid:08d}-{uuid.uuid4().hex[:8]}.json"
         mpath = os.path.join(self.path, _MANIFESTS, name)
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
-        # Atomic pointer swap = the commit point (Iceberg catalog analog).
-        fd, tmp = tempfile.mkstemp(dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            f.write(name)
-        os.replace(tmp, self._ptr_path())
+        lock = os.path.join(self.path, _LOCK)
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"commit lock {lock} held >10s; stale lock or "
+                        f"concurrent writer wedged"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            current = self._read_ptr()
+            if current != parent_name:
+                raise CommitConflictError(
+                    f"snapshot pointer moved: planned against "
+                    f"{parent_name!r} but pointer now names {current!r} "
+                    f"— re-read the table and retry the merge"
+                )
+            with open(mpath, "w") as f:
+                json.dump(manifest, f)
+            fd, tmp = tempfile.mkstemp(dir=self.path)
+            with os.fdopen(fd, "w") as f:
+                f.write(name)
+            os.replace(tmp, self._ptr_path())  # the commit point
+            self._gc_orphan_manifests(name)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
         return sid, mpath
 
     def create(self, schema: T.StructType, properties: dict[str, Any] | None = None):
@@ -288,7 +389,10 @@ class SnapshotTable:
         )
         props = dict((m or {}).get("properties", {}))
         props.update(properties or {})
-        sid, mp = self._commit(buckets, df.schema, props, parent, {"n_rows": n})
+        sid, mp = self._commit(
+            buckets, df.schema, props, parent, {"n_rows": n},
+            parent_name=None if m is None else m["_name"],
+        )
         return CommitResult(sid, mp, sorted(buckets), n, 0, n, props)
 
     # ----------------------------------------------------------------- merge
@@ -429,6 +533,7 @@ class SnapshotTable:
                 buckets, evolved, props, m["snapshot_id"],
                 {"n_rows_raw": n_after},
                 read_mode="lww", order_cols=list(order_cols),
+                parent_name=m["_name"],
             )
             return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
@@ -522,6 +627,7 @@ class SnapshotTable:
             # touched buckets, the rest may still be multi-version
             read_mode=m.get("read_mode", "plain"),
             order_cols=m.get("order_cols"),
+            parent_name=m["_name"],
         )
         return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
@@ -564,6 +670,7 @@ class SnapshotTable:
             buckets, T.StructType.fromJson(m["schema"]),
             dict(m.get("properties", {})), m["snapshot_id"], {"n_rows": n},
             read_mode=read_mode, order_cols=m.get("order_cols"),
+            parent_name=m["_name"],
         )
         return CommitResult(sid, mp, fat, 0, 0, n, m.get("properties", {}))
 
