@@ -1349,7 +1349,7 @@ def _events_as_change_log(spark, sf_dir):
 
 def _run_cdc(
     spark, sf_dir, n_batches: int, resume_midway: bool = False,
-    merge_mode: str = "cow",
+    merge_mode: str = "cow", return_table: bool = False,
 ):
     import tempfile
 
@@ -1385,6 +1385,8 @@ def _run_cdc(
             merge_mode=merge_mode,
         )
     pipe.run_to_end(span=span, end_seq=end)
+    if return_table:
+        return tbl
     return pipe.current_state().select("url", "seq", "text").orderBy("url")
 
 
@@ -1447,6 +1449,59 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
        CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
        max(seq) AS max_seq
 FROM state GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_snapshot_changes(spark, sf_dir):
+    """Snapshot-diff changelog (reference temporal post-process analog,
+    stored_procedures.py:30-36): replay the log in 2 batches through the
+    REAL pipeline, then diff the two committed snapshots — what changed
+    in "release 2". Bucket-pruned to buckets whose manifest file lists
+    differ; the oracle replays the log to each point in SQL and diffs."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    return (
+        tbl.changes_between(1, 2)
+        .select(
+            "url",
+            "change_op",
+            F.col("before.seq").alias("seq_before"),
+            F.col("after.seq").alias("seq_after"),
+        )
+        .orderBy("url")
+    )
+
+
+_SQL_SNAPSHOT_CHANGES = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op
+  FROM events
+),
+mid AS (SELECT max(seq) // 2 AS m FROM log),
+wa AS (
+  SELECT url, seq, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log WHERE seq <= (SELECT m FROM mid)
+),
+sa AS (SELECT url, seq FROM wa WHERE rn = 1 AND op <> 'delete'),
+wb AS (
+  SELECT url, seq, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+sb AS (SELECT url, seq FROM wb WHERE rn = 1 AND op <> 'delete')
+SELECT coalesce(sa.url, sb.url) AS url,
+       CASE WHEN sa.url IS NULL THEN 'insert'
+            WHEN sb.url IS NULL THEN 'delete'
+            ELSE 'update' END AS change_op,
+       sa.seq AS seq_before, sb.seq AS seq_after
+FROM sa FULL OUTER JOIN sb ON sa.url = sb.url
+WHERE sa.url IS NULL OR sb.url IS NULL OR sa.seq <> sb.seq
+ORDER BY url
 """
 
 
@@ -1533,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_resume_state": q_cdc_resume_state,
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_domain_stats": q_cdc_domain_stats,
+        "snapshot_changes": q_snapshot_changes,
     }
 
 
@@ -1615,4 +1671,5 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_resume_state": _SQL_CDC_STATE,
         "cdc_mor_state": _SQL_CDC_STATE,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
+        "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
     }
