@@ -113,12 +113,13 @@ def q_range_join_1day(spark, sf_dir):
     b = daily.filter(F.col("event_type") == "purchase").select(
         F.col("d").alias("purchase_date"), F.col("cnt").alias("purchase_cnt")
     )
-    # Equi-free range condition; at this cardinality Catalyst broadcasts
-    # one side (BNLJ) — same shape the reference view relies on.
-    joined = a.join(
-        b,
-        F.datediff(F.col("click_date"), F.col("purchase_date")).between(-1, 1),
-        "inner",
+    # Binned scale path: ±1-day range → equi join on a coarse date bin
+    # (left exploded to its 3 neighbor bins) + residual datediff filter.
+    # Hash-partitionable — never a cartesian, survives 100× cardinality.
+    from clinvar_ingest_spark.operators.joins import range_join
+
+    joined = range_join(
+        a, b, "click_date", "purchase_date", max_days=1, strategy="binned"
     )
     return joined.select("click_date", "purchase_date", "click_cnt", "purchase_cnt")
 

@@ -72,3 +72,13 @@ def test_agg_has_partial_combine(spark):
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum" in plan  # map-side combine before the shuffle
     assert "*(" in plan  # the asterisk prefix marks WholeStageCodegen spans
+
+
+def test_binned_range_join_is_equi_not_bnlj(spark):
+    """The binned range join must plan as a hash-keyed equi join
+    (SortMergeJoin/BroadcastHashJoin on the bin), never a nested-loop —
+    the difference between O(n) shuffle and O(n²) compares at scale."""
+    plan = executed_plan(entry.q_range_join_1day(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
