@@ -1351,6 +1351,7 @@ def _events_as_change_log(spark, sf_dir):
 def _run_cdc(
     spark, sf_dir, n_batches: int, resume_midway: bool = False,
     merge_mode: str = "cow", return_table: bool = False,
+    return_pipe: bool = False, derived=None,
 ):
     import tempfile
 
@@ -1374,7 +1375,7 @@ def _run_cdc(
     span = end // n_batches + 1
     path = tempfile.mkdtemp(prefix="cdc_gate_")
     tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
-    pipe = IngestPipeline(spark, src, tbl, merge_mode=merge_mode)
+    pipe = IngestPipeline(spark, src, tbl, merge_mode=merge_mode, derived=derived)
     if resume_midway:
         ranges = src.plan_batches(-1, end, span)
         pipe.run_batch(ranges[0], log_end_seq=end)
@@ -1386,6 +1387,8 @@ def _run_cdc(
             merge_mode=merge_mode,
         )
     pipe.run_to_end(span=span, end_seq=end)
+    if return_pipe:
+        return pipe
     if return_table:
         return tbl
     return pipe.current_state().select("url", "seq", "text").orderBy("url")
@@ -1412,17 +1415,22 @@ def q_cdc_mor_state(spark, sf_dir):
 
 def q_cdc_domain_stats(spark, sf_dir):
     """Normalization fan-out (the reference's disassemble,
-    variation_archive.py:1196-1225): per-domain entity table derived
-    from the ingested state — run through the real pipeline, then the
-    derivation; the oracle replays log → LWW → rollup in SQL."""
-    from clinvar_ingest_spark.operators.normalize import derive_domain_stats
+    variation_archive.py:1196-1225) through the INCREMENTAL refresh
+    path: the pipeline maintains per-source-bucket partial aggregates,
+    re-aggregating only manifest-diff-changed buckets after each batch;
+    the serving read folds the partials. The oracle replays
+    log → LWW → rollup in SQL — so the driver gate proves
+    incremental == full recompute."""
+    from clinvar_ingest_spark.operators.normalize import (
+        domain_stats_incremental,
+    )
 
-    state = _run_cdc(spark, sf_dir, n_batches=2)
-    # _run_cdc returns (url, seq, text); re-derive warc_ts-free stats
+    pipe = _run_cdc(
+        spark, sf_dir, n_batches=2, return_pipe=True,
+        derived={"domain_stats": domain_stats_incremental},
+    )
     return (
-        derive_domain_stats(
-            state.withColumn("warc_ts", F.lit(None).cast("timestamp"))
-        )
+        pipe.derived_table("domain_stats")
         .select("domain", "n_pages", "total_text_chars", "max_seq")
         .orderBy("domain")
     )

@@ -74,28 +74,42 @@ def ivf_assign(
     swap in KMeans.fit on a sample in prod), every vector assigned to
     its nearest centroid by cosine.
 
-    Returns (centroids, assignments). The assignment is a broadcast
-    join against n_cells rows + an argmax — one narrow pass over the
-    corpus, no shuffle of the corpus itself.
+    Returns (centroids, assignments). The assignment is genuinely
+    shuffle-free: the n_cells centroids are collected driver-side
+    (metadata-scale — they fit by construction; beyond ~10³ cells use a
+    two-level quantizer) and baked into the plan as an array literal,
+    so each corpus row computes its nearest cell with ``transform`` +
+    ``array_max``/``array_position`` in ONE narrow codegen'd pass — no
+    row expansion, no Exchange between the corpus scan and the
+    assignment. Ties break toward the lowest cell_id (centroids are
+    ordered by id in the literal; array_position takes the first max),
+    matching the previous window tiebreak.
     """
-    cents = F.broadcast(
+    cent_rows = (
         corpus.orderBy(id_col)
         .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
+        .collect()
+    )
+    cents = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            cent_rows,
+            corpus.select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+            ).schema,
         )
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(cents).select(
-        id_col,
-        vec_col,
-        "cell_id",
-        cosine(F.col(vec_col), F.col("centroid")).alias("_sim"),
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in r["centroid"]])
+            for r in cent_rows
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell_id"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+    cell_id_lit = F.array(*[F.lit(r["cell_id"]) for r in cent_rows])
+    sims = F.transform(cent_lit, lambda c: cosine(F.col(vec_col), c))
+    best = F.array_position(sims, F.array_max(sims)).cast("int")
+    assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cell_id", F.element_at(cell_id_lit, best)
     )
     return cents, assigned
 

@@ -8,18 +8,46 @@ from the pages state — domain rollups, a slim url index, language
 stats — all from ONE scan (persist the source, fan out writes), the
 multi-table-from-one-scan pattern.
 
-These are materialized views over the LWW state: refreshed after a
-batch (or on a schedule), each written as its own SnapshotTable via
-``overwrite`` (CTAS semantics, create_tables.py:224). At 10^10 rows a
-refresh would be incremental (aggregate deltas per touched bucket);
-the derivation expressions below are already partial-agg combinable,
-so the incremental version reuses them unchanged.
+These are materialized views over the LWW state, in two refresh modes:
+
+* full (plain callable): rewritten from a full state scan — fine for
+  small tables, the bootstrap path;
+* incremental (:class:`IncrementalDerivation`): the scale path. The
+  derived aggregate is maintained as PER-SOURCE-BUCKET partial
+  aggregates (all the derivations below are algebraic: count/sum/max
+  combine), stored partitioned by source bucket. After a batch, only
+  the buckets whose manifest file lists changed since the last refresh
+  are re-aggregated — delta-sized work per batch instead of a full
+  state scan — and the serving read folds the (tiny:
+  n_buckets × n_groups) partials with the ``final`` combine. At 10^10
+  rows per batch cost is O(touched buckets), the read-side fold is
+  O(n_buckets × n_domains) — metadata-scale.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+SRC_BUCKET = "_src_bucket"
+
+
+@dataclass(frozen=True)
+class IncrementalDerivation:
+    """Partial-aggregate spec for incrementally-maintained derived tables.
+
+    ``partial(slice)``: slice of the pages state carrying ``_src_bucket``
+    → partial rows, which MUST keep ``_src_bucket`` (group by it).
+    ``final(partials)``: union of all buckets' partials → serving rows.
+    For map-only derivations (projections) ``final`` just drops the
+    bucket column — the partials ARE the rows.
+    """
+
+    partial: Callable[[DataFrame], DataFrame]
+    final: Callable[[DataFrame], DataFrame]
 
 DOMAIN_RE = r"^https?://([^/]+)"
 
@@ -50,6 +78,36 @@ def derive_url_index(pages: DataFrame) -> DataFrame:
         "warc_ts",
         "seq",
     )
+
+
+domain_stats_incremental = IncrementalDerivation(
+    partial=lambda df: (
+        df.groupBy(SRC_BUCKET, domain_of(F.col("url")).alias("domain")).agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("total_text_chars"),
+            F.max("warc_ts").alias("last_crawled"),
+            F.max("seq").alias("max_seq"),
+        )
+    ),
+    final=lambda p: (
+        p.groupBy("domain").agg(
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("total_text_chars").alias("total_text_chars"),
+            F.max("last_crawled").alias("last_crawled"),
+            F.max("max_seq").alias("max_seq"),
+        )
+    ),
+)
+
+url_index_incremental = IncrementalDerivation(
+    # map-only: the per-bucket rows ARE the index; refresh replaces
+    # exactly the touched buckets' partitions
+    partial=lambda df: df.select(
+        SRC_BUCKET, "url", domain_of(F.col("url")).alias("domain"),
+        "warc_ts", "seq",
+    ),
+    final=lambda p: p.drop(SRC_BUCKET),
+)
 
 
 def derive_entities(pages: DataFrame) -> dict[str, DataFrame]:

@@ -306,16 +306,33 @@ class IngestPipeline:
         )
 
     def refresh_derived(self) -> dict[str, int]:
-        """Rewrite every derived entity table from the current state
-        (materialized-view refresh; one cached state scan fans out to
-        all derivations). Idempotent — re-running after a crash simply
-        rewrites the same views, so exactly-once needs no extra fence."""
+        """Refresh every derived entity table.
+
+        Plain-callable derivations rewrite from a full state scan
+        (materialized-view refresh; one cached scan fans out). An
+        :class:`IncrementalDerivation` takes the scale path instead:
+        only source buckets whose manifest file lists changed since the
+        table's last refresh are re-aggregated (delta-sized per-batch
+        work), replacing exactly those buckets' partial-aggregate
+        partitions. Both paths are idempotent — re-running after a
+        crash recomputes the same buckets because the refresh marker
+        only advances after the partials land."""
+        from clinvar_ingest_spark.operators.normalize import IncrementalDerivation
         from clinvar_ingest_spark.tables import SnapshotTable
 
-        state = self.current_state().persist()
         out = {}
+        full = {
+            n: fn for n, fn in self.derived.items()
+            if not isinstance(fn, IncrementalDerivation)
+        }
+        for name, spec in self.derived.items():
+            if isinstance(spec, IncrementalDerivation):
+                out[name] = self._refresh_incremental(name, spec)
+        if not full:
+            return out
+        state = self.current_state().persist()
         try:
-            for name, fn in self.derived.items():
+            for name, fn in full.items():
                 df = fn(state)
                 key = df.columns[0]
                 tbl = SnapshotTable(
@@ -330,9 +347,70 @@ class IngestPipeline:
             state.unpersist()
         return out
 
+    def _partials_dir(self, name: str) -> str:
+        return f"{self.target.path}__{name}_partials"
+
+    def _refresh_incremental(self, name: str, spec) -> int:
+        """Re-aggregate ONLY the source buckets that changed since this
+        derived table's last refresh (manifest diff = the change index,
+        same pruning as changes_between). Crash-safe: touched buckets'
+        partial partitions are deleted then rewritten, and the marker
+        recording the refreshed-through snapshot advances only after
+        the write — a crash replays the same delta."""
+        import shutil
+
+        from clinvar_ingest_spark.operators.normalize import SRC_BUCKET
+
+        base = self._partials_dir(name)
+        data_dir = f"{base}/data"
+        marker = f"{base}/_refreshed_at"
+        cur = self.target.snapshot_id()
+        last = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = int(f.read().strip())
+        if last == cur:
+            return 0
+        if last is None:
+            buckets = None  # bootstrap: all buckets
+        else:
+            ma = self.target.manifest_at(last)
+            mb = self.target.current_manifest()
+            buckets = sorted(
+                int(bk)
+                for bk in set(ma["buckets"]) | set(mb["buckets"])
+                if ma["buckets"].get(bk) != mb["buckets"].get(bk)
+            )
+            if not buckets:
+                with open(marker, "w") as f:
+                    f.write(str(cur))
+                return 0
+        state_slice = self.target.read(buckets=buckets).withColumnRenamed(
+            "_bucket", SRC_BUCKET
+        )
+        rows = spec.partial(state_slice).repartition(F.col(SRC_BUCKET))
+        os.makedirs(base, exist_ok=True)
+        if buckets is None:
+            rows.write.partitionBy(SRC_BUCKET).mode("overwrite").parquet(data_dir)
+        else:
+            # replace exactly the touched buckets' partitions: a bucket
+            # whose groups all vanished must lose its stale partial too,
+            # which dynamic partition overwrite alone would keep
+            for b in buckets:
+                shutil.rmtree(f"{data_dir}/{SRC_BUCKET}={b}", ignore_errors=True)
+            rows.write.partitionBy(SRC_BUCKET).mode("append").parquet(data_dir)
+        with open(marker, "w") as f:
+            f.write(str(cur))
+        return len(buckets) if buckets is not None else self.target.n_buckets
+
     def derived_table(self, name: str):
+        from clinvar_ingest_spark.operators.normalize import IncrementalDerivation
         from clinvar_ingest_spark.tables import SnapshotTable
 
+        spec = self.derived.get(name)
+        if isinstance(spec, IncrementalDerivation):
+            partials = self.spark.read.parquet(f"{self._partials_dir(name)}/data")
+            return spec.final(partials)
         tbl = SnapshotTable(self.spark, f"{self.target.path}__{name}")
         return tbl.read().drop("_bucket", "_deleted")
 

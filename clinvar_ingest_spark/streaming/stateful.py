@@ -50,12 +50,17 @@ def _track(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.
     else:
         ts_us, seq, op = -1, -1, None
 
+    # Vectorized per-batch argmax: the LWW winner is the lexicographic
+    # max of (warc_ts, seq). Sorting the (small, per-key) pandas frame
+    # once and taking the last row stays columnar — no per-row Python.
     best_ts, best_seq, best_op = ts_us, seq, op
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            r_ts = int(row["warc_ts"].value // 1000)  # ns → µs
-            if (r_ts, int(row["seq"])) > (best_ts, best_seq):
-                best_ts, best_seq, best_op = r_ts, int(row["seq"]), row["op"]
+        if len(pdf) == 0:
+            continue
+        top = pdf.sort_values(["warc_ts", "seq"], kind="stable").iloc[-1]
+        r_ts = int(top["warc_ts"].value // 1000)  # ns → µs
+        if (r_ts, int(top["seq"])) > (best_ts, best_seq):
+            best_ts, best_seq, best_op = r_ts, int(top["seq"]), top["op"]
 
     if (best_ts, best_seq) == (ts_us, seq):
         return  # batch contained only stale versions — no transition

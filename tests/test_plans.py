@@ -82,3 +82,18 @@ def test_binned_range_join_is_equi_not_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_ivf_assign_has_no_exchange_before_assignment(spark):
+    """IVF cell assignment must be one narrow pass over the corpus:
+    no Exchange (shuffle) between the embeddings scan and the cell_id
+    projection — the centroid argmax runs against a plan literal."""
+    from clinvar_ingest_spark.operators.ann import ivf_assign
+
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+        "vec_id", "embedding"
+    )
+    _, assigned = ivf_assign(corpus, n_cells=8)
+    plan = executed_plan(assigned)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
