@@ -561,6 +561,77 @@ def q_simhash_buckets(spark, sf_dir):
     return simhash_buckets(d).orderBy("simhash")
 
 
+def q_minhash_lsh_capped(spark, sf_dir):
+    """MinHash+LSH with the production bucket-size cap: band buckets
+    holding > max_bucket docs (degenerate boilerplate collisions — the
+    thing that goes quadratic at web scale) are dropped before the
+    candidate self-join. Oracle applies the identical HAVING cap."""
+    from clinvar_ingest_spark.operators.similarity_dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        d, threshold=0.2, band_prefix=4, max_bucket=4
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """Wide (60-bit) simhash near-dup via hamming-segment probing:
+    candidates share ≥1 exact 15-bit segment (pigeonhole for hamming≤3),
+    verified by popcount(xor) — the scale path past 16-bit buckets."""
+    from clinvar_ingest_spark.operators.similarity_dedup import simhash_near_dup
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(d, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def q_ann_lsh_hyperplane(spark, sf_dir):
+    """Random-hyperplane cosine LSH (md5-seeded planes — statistically
+    random, engine-reproducible): the real LSH variant next to the
+    sign-bit stand-in; equi join on the 8-bit bucket id."""
+    from clinvar_ingest_spark.operators.ann import hyperplane_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, n_planes=8, dim=64
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_hyperplane():
+    from clinvar_ingest_spark.functions.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(8, 64)
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        dot = " + ".join(
+            f"embedding[{j + 1}]::DOUBLE * ({v!r})" for j, v in enumerate(p)
+        )
+        bucket_terms.append(
+            f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n       + ".join(bucket_terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {bucket} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 4) AS cos_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
     from clinvar_ingest_spark.operators.ann import cosine_topk
@@ -1225,13 +1296,77 @@ s AS (SELECT doc_id, {votes} AS simhash FROM t)
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
 FROM s GROUP BY simhash ORDER BY simhash
 """
+
+    # --- capped LSH: identical pipeline + HAVING count(*) <= cap on
+    # band buckets before the candidate self-join -------------------
+    lsh_capped = sh_cte + f""",
+sig AS (SELECT doc_id, {mh_cols} FROM sh),
+bands AS ({bands_union}),
+ok AS (
+  SELECT band_id, band_val FROM bands
+  GROUP BY band_id, band_val HAVING count(*) <= 4
+),
+kept AS (
+  SELECT b.* FROM bands b SEMI JOIN ok
+    ON b.band_id = ok.band_id AND b.band_val = ok.band_val
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jac
+FROM cands
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+    # --- wide (60-bit) simhash + hamming-segment near-dup ----------
+    votes60 = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, h -> CASE WHEN "
+        f"(h & {1 << j}) > 0 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(60)
+    )
+    seg_union = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {i} AS seg_id, (sh >> {i * 15}) & 32767 AS seg_val "
+        f"FROM s"
+        for i in range(4)
+    )
+    simhash_nd = f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+th AS (SELECT doc_id,
+              list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+                AS hs
+       FROM t),
+s AS (SELECT doc_id, {votes60} AS sh FROM th),
+segs AS ({seg_union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM segs a JOIN segs b
+    ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY doc_a, doc_b
+"""
     return {
         "doc_token_count": token_count,
         "doc_lang_id": langid,
         "doc_quality_score": quality,
         "minhash_signatures": minhash,
         "minhash_lsh_dedup": lsh,
+        "minhash_lsh_capped": lsh_capped,
         "simhash_buckets": simhash,
+        "simhash_near_dup": simhash_nd,
     }
 
 
@@ -1573,9 +1708,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
         "simhash_buckets": q_simhash_buckets,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "running_total": q_running_total,
@@ -1659,6 +1797,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "exact_dedup_docs": _SQL_EXACT_DEDUP,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_bucketed": _SQL_ANN_LSH,
+        "ann_lsh_hyperplane": _sql_ann_hyperplane(),
         "ann_ivf": _SQL_ANN_IVF,
         "multimodal_features": _SQL_MULTIMODAL,
         "running_total": _SQL_RUNNING_TOTAL,

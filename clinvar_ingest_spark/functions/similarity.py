@@ -76,6 +76,79 @@ def simhash16(text: Column) -> Column:
     return out
 
 
+WIDE_SIMHASH_BITS = 60  # 64-bit-class width; 60 = 15 hex nibbles, so the
+#                         token hash stays inside a SIGNED BIGINT in both
+#                         Spark and DuckDB (16 nibbles could set bit 63 and
+#                         overflow the portable cast)
+
+
+def token_hash_wide(tok: Column, bits: int = WIDE_SIMHASH_BITS) -> Column:
+    """Portable wide token hash: first bits/4 hex nibbles of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, bits // 4), 16, 10).cast("long")
+
+
+def simhash_wide(text: Column, bits: int = WIDE_SIMHASH_BITS) -> Column:
+    """Wide SimHash (default 60 bits): the scale replacement for
+    :func:`simhash16` — 2^16 buckets collapse at web scale (10^10 docs →
+    ~10^5 docs per bucket); 2^60 keeps buckets sparse so hamming-segment
+    probing (see operators.similarity_dedup.simhash_near_dup) stays
+    selective. The token hash array is materialized ONCE per row, then
+    each bit's +1/−1 vote folds over the longs — md5 runs once per
+    token, not once per (token, bit)."""
+
+    def _vote(bit: int):
+        # factory (see _seeded_md5): keeps `bit` a Python int
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << bit)) > 0, 1
+        ).otherwise(-1)
+
+    toks = ws_tokens(F.lower(text))
+    hs = F.transform(toks, lambda t: token_hash_wide(t, bits))
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hs, F.lit(0), _vote(j))
+        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def hyperplane_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for cosine LSH: plane
+    component (i, j) derives from md5(f"{i}|{j}") mapped to [-1, 1],
+    rounded to 6 dp so the identical constants can be inlined into
+    oracle SQL. Statistically these behave as random hyperplanes
+    (md5 output is uniform) while staying reproducible in any engine —
+    the 'real' random-hyperplane LSH, seeded by construction."""
+    import hashlib
+
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{i}|{j}".encode()).hexdigest()
+            row.append(round((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i).
+    Collision probability between two vectors is (1 - θ/π)^n_planes —
+    the classic SimHash-for-cosine guarantee — unlike sign-of-first-dims
+    bucketing, which ignores most of the vector."""
+    b = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clinvar_ingest_spark.functions.similarity import cosine
+from clinvar_ingest_spark.functions.similarity import (
+    cosine,
+    hyperplane_bucket,
+    hyperplane_planes,
+)
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
@@ -151,6 +155,40 @@ def ivf_cosine_topk(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
     ).distinct()
+    return _ranked(pairs, k)
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN — the *real* cosine-LSH variant (vs the
+    sign-of-first-dims stand-in in :func:`lsh_cosine_topk`): n_planes
+    md5-seeded pseudo-random hyperplanes, bucket bit i = sign(v·p_i),
+    giving the textbook collision probability (1 − θ/π)^n_planes. Plane
+    constants are deterministic, so the oracle replays them exactly.
+    The candidate join stays an equi join on the bucket id."""
+    planes = hyperplane_planes(n_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = q.join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+    )
     return _ranked(pairs, k)
 
 

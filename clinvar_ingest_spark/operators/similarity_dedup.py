@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 
 from clinvar_ingest_spark.functions.similarity import (
     N_MINHASH,
+    WIDE_SIMHASH_BITS,
     jaccard,
     minhash_signature,
     shingles,
     simhash16,
+    simhash_wide,
 )
 
 
@@ -30,12 +32,22 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_prefix: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any banded minhash value.
 
     One band per minhash (rows=1), band value truncated to
     ``band_prefix`` hex chars to tune collision probability. Returns
     distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    ``max_bucket`` is the web-scale safety valve: a degenerate band
+    value (a boilerplate shingle shared by millions of pages) makes its
+    bucket's self-join quadratic. Buckets holding more than
+    ``max_bucket`` docs are dropped before the join — a bucket that
+    common carries no near-dup signal anyway (its members collide on
+    boilerplate, not content), which is the standard cap in production
+    MinHash dedup. The cap itself is one map-side-combinable count +
+    a semi join, both hash-partitioned.
     """
     sh = doc_shingles(docs, id_col, text_col)
     sig = sh.select(id_col, *minhash_signature(F.col("sh")))
@@ -45,6 +57,14 @@ def minhash_lsh_candidates(
             F.array(*[F.substring(F.col(f"mh{i}"), 1, band_prefix) for i in range(N_MINHASH)])
         ).alias("band_id", "band_val"),
     )
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_id", "band_val")
+        )
+        bands = bands.join(ok, ["band_id", "band_val"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -67,9 +87,10 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_prefix: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(docs, id_col, text_col, band_prefix)
+    cands = minhash_lsh_candidates(docs, id_col, text_col, band_prefix, max_bucket)
     sh = doc_shingles(docs, id_col, text_col)
     verified = (
         cands.join(sh.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
@@ -90,4 +111,71 @@ def simhash_buckets(
     return (
         sim.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = WIDE_SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Wide-simhash near-dup pairs via hamming-segment probing.
+
+    Pigeonhole: split the ``bits``-wide simhash into ``max_hamming + 1``
+    equal segments — two hashes within hamming distance ``max_hamming``
+    MUST agree exactly on at least one segment. Candidates are therefore
+    an EQUI join on (segment_id, segment_value) — hash-partitioned,
+    never all-pairs — verified by the exact popcount of the XOR. This is
+    the scale path 16-bit simhash bucketing lacks: at 10^10 docs 2^16
+    buckets are saturated, while 15-bit segments of a 60-bit hash keep
+    candidate buckets sparse AND tolerate near (not just exact) matches.
+
+    Returns distinct (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    n_seg = max_hamming + 1
+    if bits % n_seg:
+        raise ValueError(f"bits={bits} not divisible into {n_seg} segments")
+    w = bits // n_seg
+    mask = (1 << w) - 1
+    sim = docs.select(
+        F.col(id_col), simhash_wide(F.col(text_col), bits).alias("sh")
+    )
+    segs = sim.select(
+        id_col,
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), i * w)
+                    .bitwiseAND(F.lit(mask))
+                    .alias(f"s{i}")
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("seg_id", "seg_val"),
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

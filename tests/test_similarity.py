@@ -126,3 +126,61 @@ def test_multimodal_features_match_stub(spark):
     for i, p in enumerate(payloads):
         s = decode_stub(p)
         assert got[i] == (s["n_bytes"], s["first_byte"], s["checksum64"])
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """A boilerplate band value shared by many docs must be dropped by
+    the cap — candidate pairs shrink, preventing the quadratic bucket."""
+    from clinvar_ingest_spark.operators.similarity_dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    uncapped = minhash_lsh_candidates(docs).count()
+    capped = minhash_lsh_candidates(docs, max_bucket=4).count()
+    assert capped < uncapped  # the cap actually bit
+    assert capped > 0
+
+
+def test_simhash_near_dup_finds_exact_dups_at_zero(spark):
+    """Byte-identical texts have identical 60-bit simhash → hamming 0;
+    they must always surface as near-dup pairs."""
+    from clinvar_ingest_spark.operators.similarity_dedup import simhash_near_dup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark partitions and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = simhash_near_dup(docs, max_hamming=3).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_hyperplane_bucket_uses_whole_vector(spark):
+    """Unlike sign-of-first-dims, flipping a LATE dimension must be able
+    to change the hyperplane bucket (the planes span all dims)."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.similarity import (
+        hyperplane_bucket,
+        hyperplane_planes,
+    )
+
+    planes = hyperplane_planes(8, 8)
+    base = [0.1] * 8
+    flipped = [0.1] * 7 + [-50.0]  # only dim 8 differs, massively
+    df = spark.createDataFrame(
+        [(1, base), (2, flipped)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), planes).alias("b")
+        ).collect()
+    }
+    assert got[1] != got[2]
