@@ -1649,6 +1649,193 @@ ORDER BY url
 """
 
 
+def q_tree_disassemble(spark, sf_dir):
+    """Recursive tree → node rows with deterministic synthetic ids
+    (reference variation_archive.py:466-577). A depth-2 JSON tree is
+    synthesized per nation in-query (root → {hq → ops, web}); the
+    OPERATOR walks any depth inside mapInPandas, the oracle unrolls the
+    known shape and recomputes the same md5 path ids."""
+    from clinvar_ingest_spark.operators.tree import tree_disassemble
+
+    n = _t(spark, sf_dir, "nation")
+    leaf = lambda nm: F.struct(  # noqa: E731
+        nm.alias("name"),
+        F.array().cast("array<struct<name:string>>").alias("children"),
+    )
+    doc = F.to_json(
+        F.struct(
+            F.col("n_name").alias("name"),
+            F.array(
+                F.struct(
+                    F.concat(F.col("n_name"), F.lit(":hq")).alias("name"),
+                    F.array(
+                        leaf(F.concat(F.col("n_name"), F.lit(":hq:ops")))
+                    ).alias("children"),
+                ),
+                F.struct(
+                    F.concat(F.col("n_name"), F.lit(":web")).alias("name"),
+                    F.array().cast(
+                        "array<struct<name:string,children:array<struct<name:string>>>>"
+                    ).alias("children"),
+                ),
+            ).alias("children"),
+        )
+    )
+    trees = n.select(F.col("n_nationkey").cast("long").alias("root_id"), doc.alias("doc"))
+    return tree_disassemble(trees).orderBy("root_id", "path")
+
+
+_SQL_TREE = """
+WITH n AS (SELECT n_nationkey AS rid, n_name FROM nation),
+nodes AS (
+  SELECT rid AS root_id,
+         substr(md5(CAST(rid AS VARCHAR) || '|/'), 1, 16) AS node_id,
+         NULL AS parent_id, n_name AS name, 0 AS depth, '/' AS path FROM n
+  UNION ALL
+  SELECT rid, substr(md5(CAST(rid AS VARCHAR) || '|/0'), 1, 16),
+         substr(md5(CAST(rid AS VARCHAR) || '|/'), 1, 16),
+         n_name || ':hq', 1, '/0' FROM n
+  UNION ALL
+  SELECT rid, substr(md5(CAST(rid AS VARCHAR) || '|/0/0'), 1, 16),
+         substr(md5(CAST(rid AS VARCHAR) || '|/0'), 1, 16),
+         n_name || ':hq:ops', 2, '/0/0' FROM n
+  UNION ALL
+  SELECT rid, substr(md5(CAST(rid AS VARCHAR) || '|/1'), 1, 16),
+         substr(md5(CAST(rid AS VARCHAR) || '|/'), 1, 16),
+         n_name || ':web', 1, '/1' FROM n
+)
+SELECT root_id, node_id, parent_id, name, CAST(depth AS INTEGER) AS depth, path
+FROM nodes ORDER BY root_id, path
+"""
+
+
+def q_min_cost_lineitems(spark, sf_dir):
+    """Q2 shape (correlated min): for each part, keep only the lineitems
+    that hit the part's minimum effective price — window-min instead of
+    a correlated subquery, one shuffle on the correlation key."""
+    li = _t(spark, sf_dir, "lineitem")
+    # raw double price (no round): x*(1-y) is bit-identical IEEE math in
+    # Spark and DuckDB, while 2dp rounding of a single row's price can
+    # straddle a half-way repr difference between the engines
+    eff = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    w = Window.partitionBy("l_partkey")
+    out = (
+        li.withColumn("eff", eff)
+        .withColumn("min_eff", F.min("eff").over(w))
+        .filter((F.col("eff") == F.col("min_eff")) & (F.col("l_partkey") < 200))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("eff").alias("min_price"),
+        )
+    )
+    return out.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+
+
+_SQL_MIN_COST = """
+WITH e AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS eff,
+         min(l_extendedprice * (1 - l_discount))
+           OVER (PARTITION BY l_partkey) AS min_eff
+  FROM lineitem
+)
+SELECT l_partkey, l_orderkey, l_linenumber, eff AS min_price
+FROM e WHERE eff = min_eff AND l_partkey < 200
+ORDER BY l_partkey, l_orderkey, l_linenumber
+"""
+
+
+def q_nation_pair_revenue(spark, sf_dir):
+    """Q7 shape: shipping between two nations — 5-way join (lineitem ⋈
+    orders ⋈ customer ⋈ nation², supplier ⋈ nation) with broadcast dims,
+    revenue per (supp_nation, cust_nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, s.s_nationkey == F.col("s_nk"))
+        .join(n2, c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_SQL_NATION_PAIR = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_brand_supplier_counts(spark, sf_dir):
+    """Q16 shape: distinct-supplier count per (brand, type-prefix, size),
+    excluding an anti-joined supplier blocklist (s_acctbal < 0)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("p_size").isin(1, 4, 7))
+        .groupBy(
+            "p_brand",
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            "p_size",
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "type_prefix", "p_size"
+        )
+    )
+
+
+_SQL_BRAND_SUPPLIERS = """
+SELECT p_brand, substr(p_type, 1, 6) AS type_prefix, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, type_prefix, p_size
+"""
+
+
 _SQL_CDC_STATE = """
 WITH log AS (
   SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
@@ -1736,6 +1923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_domain_stats": q_cdc_domain_stats,
         "snapshot_changes": q_snapshot_changes,
+        "tree_disassemble": q_tree_disassemble,
+        "min_cost_lineitems": q_min_cost_lineitems,
+        "nation_pair_revenue": q_nation_pair_revenue,
+        "brand_supplier_counts": q_brand_supplier_counts,
     }
 
 
@@ -1820,4 +2011,8 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_mor_state": _SQL_CDC_STATE,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
+        "tree_disassemble": _SQL_TREE,
+        "min_cost_lineitems": _SQL_MIN_COST,
+        "nation_pair_revenue": _SQL_NATION_PAIR,
+        "brand_supplier_counts": _SQL_BRAND_SUPPLIERS,
     }
