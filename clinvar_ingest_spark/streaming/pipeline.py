@@ -205,57 +205,75 @@ class IngestPipeline:
         batch_id = self.last_batch_id() + 1
         raw = self.source.batch(rng)
 
-        # Lineage part-ranges run in a concurrent thread: Spark's
-        # scheduler interleaves the pruned-column scan with the merge's
-        # jobs, so the driver-side job round-trips overlap instead of
-        # serializing (the merge does not depend on part_ranges).
-        import threading
+        # ONE profile job per batch: a single pruned-column scan
+        # aggregates per (source partition, target bucket) and the
+        # driver derives BOTH the lineage part-ranges AND the merge's
+        # touched-bucket/upsert/delete stats from its (|parts|·|buckets|,
+        # metadata-sized) result — the merge then runs with precomputed
+        # batch_stats, so a batch costs exactly two Spark jobs: profile
+        # + merge-write. At high parallelism the saved scan and job
+        # round-trip come straight off the serial Amdahl floor.
+        from clinvar_ingest_spark.tables import bucket_expr
 
-        pr_result: dict = {}
+        part_col, seq_col = self.source.part_col, self.source.seq_col
+        prof = (
+            raw.groupBy(
+                F.col(part_col),
+                bucket_expr(self.target.key_col, self.target.n_buckets).alias(
+                    "_b"
+                ),
+            )
+            .agg(
+                F.min(seq_col).alias("lo"),
+                F.max(seq_col).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("op") != F.lit("delete")).cast("long")).alias("u"),
+                F.sum((F.col("op") == F.lit("delete")).cast("long")).alias("d"),
+            )
+            .collect()
+        )
+        by_part: dict[int, dict] = {}
+        touched: set[int] = set()
+        n_up = n_del = 0
+        for r in prof:
+            touched.add(int(r["_b"]))
+            n_up += int(r["u"] or 0)
+            n_del += int(r["d"] or 0)
+            p = int(r[part_col])
+            agg = by_part.setdefault(
+                p, {"part": p, "seq_lo": r["lo"], "seq_hi": r["hi"], "n_rows": 0}
+            )
+            agg["seq_lo"] = min(agg["seq_lo"], int(r["lo"]))
+            agg["seq_hi"] = max(agg["seq_hi"], int(r["hi"]))
+            agg["n_rows"] += int(r["n"])
+        part_ranges = [by_part[p] for p in sorted(by_part)]
+        batch_stats = {
+            "touched": sorted(touched),
+            "n_upserts": n_up,
+            "n_deletes": n_del,
+        }
 
-        def _collect_ranges():
-            try:
-                pr_result["ranges"] = self.source.part_ranges(raw)
-            except BaseException as exc:  # noqa: BLE001 — re-raised below
-                pr_result["error"] = exc
-
-        th = threading.Thread(target=_collect_ranges, daemon=True)
-        th.start()
-
-        def _ranges():
-            th.join()
-            if "error" in pr_result:
-                raise RuntimeError(
-                    "lineage part-ranges job failed"
-                ) from pr_result["error"]
-            return pr_result["ranges"]
-
-        def _props():
-            # evaluated by merge_upsert right before the atomic pointer
-            # swap (after the bucket write): the per-part HWMs still land
-            # in the SAME commit as the data — exactly-once preserved.
-            _ranges()
-            hwm_by_part = self.checkpoints()
-            for pr in pr_result["ranges"]:
-                hwm_by_part[str(pr["part"])] = max(
-                    pr["seq_hi"], hwm_by_part.get(str(pr["part"]), -1)
-                )
-            return {
-                "global_hwm": rng.hi,
-                "batch_id": batch_id,
-                "hwm_by_part": hwm_by_part,
-            }
+        hwm_by_part = self.checkpoints()
+        for pr in part_ranges:
+            hwm_by_part[str(pr["part"])] = max(
+                pr["seq_hi"], hwm_by_part.get(str(pr["part"]), -1)
+            )
+        props = {
+            "global_hwm": rng.hi,
+            "batch_id": batch_id,
+            "hwm_by_part": hwm_by_part,
+        }
 
         res = self.target.merge_upsert(
             raw.drop(self.source.part_col),
             order_cols=("warc_ts", "seq"),
             op_col="op",
-            properties=_props,
+            properties=props,
             dedup_strategy=self.dedup_strategy,
             post_merge_transform=self.transform,
+            batch_stats=batch_stats,
             merge_mode=self.merge_mode,
         )
-        part_ranges = _ranges()
         wall = time.monotonic() - t0
         n_events = sum(pr["n_rows"] for pr in part_ranges)
 

@@ -65,10 +65,20 @@ def bucket_expr(key_col: str, n_buckets: int):
 
 def _footer_rows(files: list[str]) -> int:
     """Row count from parquet footers — Iceberg file-stats analog;
-    metadata-only, never recomputes the plan."""
+    metadata-only, never recomputes the plan. Footer opens are tiny
+    IO-bound reads fanned out over a thread pool: they sit on the
+    DRIVER-side serial path of every commit, so at high parallelism
+    they would otherwise dominate the Amdahl floor."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if len(files) <= 4:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    with ThreadPoolExecutor(min(16, len(files))) as ex:
+        return sum(
+            ex.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files)
+        )
 
 
 @dataclass
@@ -415,15 +425,28 @@ class SnapshotTable:
         return self
 
     def _write_buckets(self, df: DataFrame, snapshot_hint: int) -> dict[int, list[str]]:
-        """Write df (already carrying BUCKET_COL) as one dir per bucket.
+        """Write df (already carrying BUCKET_COL) as one file per bucket.
 
-        ``partitionBy`` strips the partition column from the files, so a
-        duplicate ``_pb`` drives the layout while BUCKET_COL stays in the
-        data (lets any file list be read back without basePath tricks).
+        Default path is a DIRECT write, the Iceberg-writer shape: tasks
+        stream Arrow batches into per-bucket pyarrow ParquetWriters at
+        their FINAL paths (unique uuid names) and return (bucket, path)
+        rows; there is no ``_temporary`` staging, no task/job commit
+        renames, no output-dir listing. Visibility is controlled by the
+        manifest commit alone — a crashed or speculatively-retried task
+        leaves an orphan file that no manifest references (GC'd by
+        maintenance), exactly Iceberg's contract. Measured: the Hadoop
+        committer costs ~2s per 64-dir partitioned write regardless of
+        data volume — pure serial driver/rename overhead that sits on
+        every batch's Amdahl floor; the direct write cuts it to ~1s.
+
+        ``write_salts > 1`` keeps the Hive-layout ``partitionBy`` path
+        (one file per (bucket, salt) via the writer's own clustering).
         """
         out_dir = os.path.join(
             self.path, _DATA, f"s{snapshot_hint:08d}-{uuid.uuid4().hex[:8]}"
         )
+        if self.write_salts <= 1:
+            return self._write_buckets_direct(df, out_dir)
         df = df.withColumn("_pb", F.col(BUCKET_COL))
         part_by = ["_pb"]
         if self.write_salts > 1:
@@ -448,6 +471,60 @@ class SnapshotTable:
             for f in files:
                 if f.endswith(".parquet"):
                     buckets.setdefault(b, []).append(os.path.join(root, f))
+        return {b: sorted(fs) for b, fs in buckets.items()}
+
+    def _write_buckets_direct(
+        self, df: DataFrame, out_dir: str
+    ) -> dict[int, list[str]]:
+        """Direct per-bucket parquet write inside ``mapInArrow``: each
+        task opens one ParquetWriter per bucket it holds (the explicit
+        repartition on BUCKET_COL puts a bucket wholly in one task) and
+        streams its Arrow batches straight to the final file."""
+        os.makedirs(out_dir, exist_ok=True)
+
+        def _write(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            writers: dict[int, Any] = {}
+            paths: dict[int, str] = {}
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                for b in pc.unique(tbl[BUCKET_COL]).to_pylist():
+                    sub = tbl.filter(pc.equal(tbl[BUCKET_COL], b))
+                    if b not in writers:
+                        p = os.path.join(
+                            out_dir, f"b{b:05d}-{uuid.uuid4().hex[:8]}.parquet"
+                        )
+                        paths[b] = p
+                        writers[b] = pq.ParquetWriter(
+                            p, tbl.schema, compression="snappy"
+                        )
+                    writers[b].write_table(sub)
+            for w in writers.values():
+                w.close()
+            out_schema = pa.schema(
+                [("bucket", pa.int32()), ("path", pa.string())]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sorted(paths), type=pa.int32()),
+                    pa.array(
+                        [paths[b] for b in sorted(paths)], type=pa.string()
+                    ),
+                ],
+                schema=out_schema,
+            )
+
+        rows = (
+            df.repartition(F.col(BUCKET_COL))
+            .mapInArrow(_write, "bucket int, path string")
+            .collect()
+        )
+        buckets: dict[int, list[str]] = {}
+        for r in rows:
+            buckets.setdefault(int(r["bucket"]), []).append(r["path"])
         return {b: sorted(fs) for b, fs in buckets.items()}
 
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None):
