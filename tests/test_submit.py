@@ -1,0 +1,71 @@
+"""Deployment-path test: the REAL ``spark-submit --py-files`` flow.
+
+North-rule parity: "run via spark-submit --py-files on a multi-executor
+cluster". This test builds the zip artifact, then launches the actual
+``spark-submit`` binary from a scratch cwd (so the engine can ONLY be
+imported from the --py-files zip), ingests a small log, resumes, and
+checks the status JSON — the exact ops workflow a cluster deploy uses,
+minus only the cluster manager.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import package
+
+    zip_path = package.build(str(tmp_path / "dist" / "clinvar_ingest_spark.zip"))
+
+    # a small change log written by the (already running) test session
+    from clinvar_ingest_spark.sources import synthetic_change_log
+
+    log = str(tmp_path / "log")
+    synthetic_change_log(spark, 2000, n_urls=300).write.parquet(log)
+    table = str(tmp_path / "pages")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # engine must come from --py-files only
+    cwd = str(tmp_path)  # NOT the repo: no accidental package import
+
+    def submit(*args):
+        return subprocess.run(
+            [
+                SPARK_SUBMIT,
+                "--master", "local[2]",
+                "--py-files", zip_path,
+                os.path.join(REPO, "run_ingest.py"),
+                *args,
+            ],
+            cwd=cwd, env=env, capture_output=True, text=True, timeout=300,
+        )
+
+    r = submit("--log", log, "--table", table, "--span", "1000")
+    assert r.returncode == 0, r.stderr[-2000:]
+    reports = [json.loads(line) for line in r.stdout.splitlines() if line.startswith("{")]
+    assert [b["batch_id"] for b in reports] == [0, 1]
+    assert all(not b["skipped"] for b in reports)
+
+    # resume from the committed checkpoint: everything already applied
+    r2 = submit("--log", log, "--table", table, "--span", "1000")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    reports2 = [json.loads(line) for line in r2.stdout.splitlines() if line.startswith("{")]
+    assert all(b["skipped"] for b in reports2)
+
+    r3 = submit("--table", table, "--status")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    status = json.loads(
+        [line for line in r3.stdout.splitlines() if line.startswith("{")][0]
+    )
+    assert status["global_hwm"] == 1999
+    assert status["batch_id"] == 1
