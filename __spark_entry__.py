@@ -1836,6 +1836,120 @@ ORDER BY supplier_cnt DESC, p_brand, type_prefix, p_size
 """
 
 
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Additive schema evolution THROUGH the gate: batch 1 carries no
+    lang column, batch 2 adds it mid-stream; old winners read back NULL,
+    new winners carry the value — the reference's schema_version
+    stamping (config.py:49) as live column evolution. Oracle replays
+    LWW and nulls lang for pre-evolution winners."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    log = _events_as_change_log(spark, sf_dir)
+    mid_row = log.agg(F.max("seq").alias("m")).collect()[0]
+    mid = int(mid_row["m"]) // 2
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="cdc_evo_")
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
+    text = F.regexp_replace(
+        F.decode(F.col("html"), "UTF-8"), "<[^>]+>", ""
+    )
+    b1 = log.filter(F.col("seq") <= mid).select(
+        "url", "warc_ts", "seq", text.alias("text"), "op"
+    )
+    b2 = log.filter(F.col("seq") > mid).select(
+        "url", "warc_ts", "seq", text.alias("text"), "op",
+        F.concat(
+            F.lit("l"),
+            F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("int") % 3,
+        ).alias("lang"),  # md5-derived: deterministic in BOTH engines
+    )
+    tbl.merge_upsert(b1)
+    tbl.merge_upsert(b2)  # lang column appears mid-stream
+    return (
+        tbl.read()
+        .select("url", "seq", "text", "lang")
+        .orderBy("url")
+    )
+
+
+_SQL_CDC_EVOLUTION = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+mid AS (SELECT max(seq) // 2 AS m FROM log),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+)
+SELECT url, seq, text,
+       CASE WHEN seq > (SELECT m FROM mid)
+            THEN 'l' || CAST(('0x' || substr(md5(url), 1, 4))::INTEGER % 3
+                             AS VARCHAR)
+            ELSE NULL END AS lang
+FROM winners WHERE rn = 1 AND op <> 'delete'
+ORDER BY url
+"""
+
+
+def q_cdc_compacted_state(spark, sf_dir):
+    """MoR ingest → compact() → plain-scan read: compaction must fold
+    multi-version delta files back to exactly the LWW state (the same
+    oracle as the live MoR read proves CoW == MoR == compacted)."""
+    tbl = _run_cdc(
+        spark, sf_dir, n_batches=3, merge_mode="mor", return_table=True
+    )
+    tbl.compact()
+    assert tbl.current_manifest().get("read_mode") == "plain"
+    return tbl.read().select("url", "seq", "text").orderBy("url")
+
+
+def q_event_time_windows(spark, sf_dir):
+    """Tumbling event-time window counts (the streaming rollup, batch
+    mode = exact history; same expression runs under a watermark in
+    Structured Streaming — tests/test_windows.py drives that path)."""
+    from clinvar_ingest_spark.streaming.windows import windowed_event_counts
+
+    log = _events_as_change_log(spark, sf_dir)
+    return (
+        windowed_event_counts(
+            log, ts_col="warc_ts", key_col="op", window_len="1 day"
+        )
+        .orderBy("window_start", "op")
+    )
+
+
+_SQL_EVENT_WINDOWS = """
+WITH log AS (
+  SELECT ts AS warc_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op
+  FROM events
+)
+SELECT time_bucket(INTERVAL '1 day', warc_ts) AS window_start,
+       time_bucket(INTERVAL '1 day', warc_ts) + INTERVAL '1 day' AS window_end,
+       op, count(*) AS n
+FROM log GROUP BY 1, 2, 3 ORDER BY window_start, op
+"""
+
+
 _SQL_CDC_STATE = """
 WITH log AS (
   SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
@@ -1927,6 +2041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_lineitems": q_min_cost_lineitems,
         "nation_pair_revenue": q_nation_pair_revenue,
         "brand_supplier_counts": q_brand_supplier_counts,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_compacted_state": q_cdc_compacted_state,
+        "event_time_windows": q_event_time_windows,
     }
 
 
@@ -2009,6 +2126,9 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_pipeline_state": _SQL_CDC_STATE,
         "cdc_resume_state": _SQL_CDC_STATE,
         "cdc_mor_state": _SQL_CDC_STATE,
+        "cdc_schema_evolution": _SQL_CDC_EVOLUTION,
+        "cdc_compacted_state": _SQL_CDC_STATE,
+        "event_time_windows": _SQL_EVENT_WINDOWS,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
