@@ -1950,6 +1950,109 @@ FROM log GROUP BY 1, 2, 3 ORDER BY window_start, op
 """
 
 
+def q_ndjson_roundtrip(spark, sf_dir):
+    """Format dispatch through the gate (S3/S4/S9/S10): export nation
+    as gzip NDJSON with the per-entity sink, read it back through
+    read_any with a DECLARED schema (no inference pass), aggregate.
+    The oracle reads the original parquet — a lossy round-trip would
+    hash-mismatch."""
+    import tempfile
+
+    from clinvar_ingest_spark.sources.files import read_any, write_ndjson
+
+    n = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="ndjson_rt_") + "/nation"
+    write_ndjson(n, path, compression="gzip")
+    back = read_any(
+        spark, path, "ndjson",
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_SQL_NDJSON_RT = """
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """Q15 shape: revenue-per-supplier view, keep suppliers hitting the
+    global max (tie-safe via exact equality join on the max)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_returned_items(spark, sf_dir):
+    """Q10 shape: customers ranked by revenue lost to returns
+    (filter → 3-way join → agg → top-k)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_SQL_RETURNED = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 _SQL_CDC_STATE = """
 WITH log AS (
   SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
@@ -2044,6 +2147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_compacted_state": q_cdc_compacted_state,
         "event_time_windows": q_event_time_windows,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "returned_items": q_returned_items,
     }
 
 
@@ -2129,6 +2235,9 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_schema_evolution": _SQL_CDC_EVOLUTION,
         "cdc_compacted_state": _SQL_CDC_STATE,
         "event_time_windows": _SQL_EVENT_WINDOWS,
+        "ndjson_roundtrip": _SQL_NDJSON_RT,
+        "top_supplier_revenue": _SQL_TOP_SUPPLIER,
+        "returned_items": _SQL_RETURNED,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
