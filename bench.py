@@ -35,6 +35,12 @@ INGEST_EVENTS = int(os.environ.get("BENCH_INGEST_EVENTS", "2000000"))
 # see BENCH.md for the saturation measurements.
 CORES_LO = int(os.environ.get("BENCH_CORES_LO", "1"))
 CORES_HI = int(os.environ.get("BENCH_CORES_HI", "4"))
+# scaling legs run 2x the peak-leg events: the lo leg's wall is long
+# enough that the per-run floor (~1.3s) is noise on BOTH legs, so the
+# ratio measures the engine, not the fixed overhead
+SCALING_EVENTS = int(
+    os.environ.get("BENCH_SCALING_EVENTS", str(INGEST_EVENTS * 2))
+)
 
 HEADLINE = [
     "lww_latest_event",
@@ -108,7 +114,7 @@ def gen_log(spark, n_events: int, workdir: str) -> str:
     real Kafka/Iceberg tail). KB-scale pages via html_repeat."""
     from clinvar_ingest_spark.sources import synthetic_change_log
 
-    log_path = os.path.join(workdir, "change_log")
+    log_path = os.path.join(workdir, f"change_log_{n_events}")
     if not os.path.exists(log_path):
         synthetic_change_log(
             spark, n_events, n_urls=n_events // 8,
@@ -174,6 +180,8 @@ def main():
         # generate + pre-touch the log once (gen at full parallelism)
         spark = _session(CPUS)
         log_path = gen_log(spark, INGEST_EVENTS, workdir)
+        if os.environ.get("BENCH_SKIP_SCALING") != "1":
+            gen_log(spark, SCALING_EVENTS, workdir)  # gen at full parallelism
         for root, _, files in os.walk(log_path):
             for fn in files:
                 with open(os.path.join(root, fn), "rb") as fh:
@@ -230,7 +238,7 @@ def main():
                     if r == 0:
                         _warmup(s, workdir, f"c{cores}")
                     eps = run_ingest(
-                        s, INGEST_EVENTS, workdir, f"c{cores}_r{r}",
+                        s, SCALING_EVENTS, workdir, f"c{cores}_r{r}",
                         n_buckets=32,
                     )
                     attempts[cores].append(round(eps, 1))
@@ -257,6 +265,7 @@ def main():
             "queries": qtimes,
             "ingest": {
                 "n_events": INGEST_EVENTS,
+                "n_events_scaling": SCALING_EVENTS,
                 "events_per_sec_peak": round(eps_peak, 1),
                 "cores_peak": CPUS,
                 "events_per_sec_cow_8batches": round(eps_cow8, 1),

@@ -60,6 +60,12 @@ class IngestPipeline:
         self.spark = spark
         self.source = source
         self.target = target
+        # default path is FUSED: the html→text extraction runs inside
+        # the direct writer's Python stage (one JVM→Python crossing:
+        # extract + parquet-encode together) instead of as a separate
+        # Column-level pandas UDF. A caller-supplied transform keeps
+        # the Column path (it may change schema / use other columns).
+        self._fused = transform is None and target.write_salts <= 1
         self.transform = transform or self.default_transform
         self.dedup_strategy = dedup_strategy
         self.merge_mode = merge_mode
@@ -264,15 +270,23 @@ class IngestPipeline:
             "hwm_by_part": hwm_by_part,
         }
 
+        if self._fused:
+            from clinvar_ingest_spark.functions.extract import (
+                coalesce_extract_arrow,
+            )
+
+            transform_kw = {"arrow_transform": coalesce_extract_arrow()}
+        else:
+            transform_kw = {"post_merge_transform": self.transform}
         res = self.target.merge_upsert(
             raw.drop(self.source.part_col),
             order_cols=("warc_ts", "seq"),
             op_col="op",
             properties=props,
             dedup_strategy=self.dedup_strategy,
-            post_merge_transform=self.transform,
             batch_stats=batch_stats,
             merge_mode=self.merge_mode,
+            **transform_kw,
         )
         wall = time.monotonic() - t0
         n_events = sum(pr["n_rows"] for pr in part_ranges)

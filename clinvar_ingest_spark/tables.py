@@ -424,7 +424,9 @@ class SnapshotTable:
         self._commit({}, schema, properties or {}, parent=-1, stats={"n_rows": 0})
         return self
 
-    def _write_buckets(self, df: DataFrame, snapshot_hint: int) -> dict[int, list[str]]:
+    def _write_buckets(
+        self, df: DataFrame, snapshot_hint: int, arrow_transform=None
+    ) -> dict[int, list[str]]:
         """Write df (already carrying BUCKET_COL) as one file per bucket.
 
         Default path is a DIRECT write, the Iceberg-writer shape: tasks
@@ -446,7 +448,11 @@ class SnapshotTable:
             self.path, _DATA, f"s{snapshot_hint:08d}-{uuid.uuid4().hex[:8]}"
         )
         if self.write_salts <= 1:
-            return self._write_buckets_direct(df, out_dir)
+            return self._write_buckets_direct(df, out_dir, arrow_transform)
+        if arrow_transform is not None:
+            raise ValueError(
+                "arrow_transform requires the direct writer (write_salts=1)"
+            )
         df = df.withColumn("_pb", F.col(BUCKET_COL))
         part_by = ["_pb"]
         if self.write_salts > 1:
@@ -474,7 +480,7 @@ class SnapshotTable:
         return {b: sorted(fs) for b, fs in buckets.items()}
 
     def _write_buckets_direct(
-        self, df: DataFrame, out_dir: str
+        self, df: DataFrame, out_dir: str, arrow_transform=None
     ) -> dict[int, list[str]]:
         """Direct per-bucket parquet write inside ``mapInArrow``: each
         task opens one ParquetWriter per bucket it holds (the explicit
@@ -491,6 +497,11 @@ class SnapshotTable:
             paths: dict[int, str] = {}
             for batch in batches:
                 tbl = pa.Table.from_batches([batch])
+                if arrow_transform is not None:
+                    # fused row transform (e.g. html→text extraction):
+                    # runs HERE so the data crosses into Python exactly
+                    # once — transform + parquet-encode in one stage
+                    tbl = arrow_transform(tbl)
                 for b in pc.unique(tbl[BUCKET_COL]).to_pylist():
                     sub = tbl.filter(pc.equal(tbl[BUCKET_COL], b))
                     if b not in writers:
@@ -561,6 +572,7 @@ class SnapshotTable:
         properties: dict[str, Any] | None = None,
         dedup_strategy: str = "window",
         post_merge_transform=None,
+        arrow_transform=None,
         batch_stats: dict[str, Any] | None = None,
         merge_mode: str = "cow",
     ) -> CommitResult:
@@ -674,7 +686,8 @@ class SnapshotTable:
                 + [T.StructField(DELETED_COL, T.BooleanType())]
             )
             new_files = self._write_buckets(
-                survivors.select(*data_cols, DELETED_COL), m["snapshot_id"] + 1
+                survivors.select(*data_cols, DELETED_COL), m["snapshot_id"] + 1,
+                arrow_transform=arrow_transform,
             )
             buckets = {int(b): list(f) for b, f in m["buckets"].items()}
             for b, files in new_files.items():
@@ -753,7 +766,10 @@ class SnapshotTable:
         # --- rewrite only touched buckets --------------------------------
         out_cols = data_cols + [DELETED_COL]
         new_bucket_files = (
-            self._write_buckets(survivors.select(*out_cols), m["snapshot_id"] + 1)
+            self._write_buckets(
+                survivors.select(*out_cols), m["snapshot_id"] + 1,
+                arrow_transform=arrow_transform,
+            )
             if touched
             else {}
         )
@@ -786,6 +802,23 @@ class SnapshotTable:
             parent_name=m["_name"],
         )
         return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
+
+    def merge_upsert_retrying(
+        self, batch: DataFrame, retries: int = 3, **kwargs
+    ) -> CommitResult:
+        """CAS-with-retry merge (the full Iceberg commit loop): on
+        :class:`CommitConflictError` the merge re-reads the NEW current
+        snapshot and re-applies — safe because the merge is
+        LWW-idempotent over {stored ∪ batch}, so applying after a
+        concurrent commit converges to the same state as any serial
+        order of the two commits."""
+        last: CommitConflictError | None = None
+        for _ in range(retries + 1):
+            try:
+                return self.merge_upsert(batch, **kwargs)
+            except CommitConflictError as e:  # re-plan against new parent
+                last = e
+        raise last
 
     def compact(self, max_files_per_bucket: int = 1) -> CommitResult | None:
         """Merge small files: rewrite every bucket holding more than
@@ -846,6 +879,70 @@ class SnapshotTable:
             | (F.col(ts_col) >= F.lit(watermark_ts))
         )
         return self.overwrite(kept)
+
+    def vacuum_orphans(self, keep_snapshots: int | None = None) -> dict[str, int]:
+        """GC data files unreachable from the committed manifest chain
+        (Iceberg remove_orphan_files analog).
+
+        The direct writer places files at final paths before the commit,
+        so a crashed/conflicted/speculatively-retried write leaves
+        orphans — invisible (no manifest references them) but consuming
+        storage. This walks the data dirs, diffs against the union of
+        file lists across the committed chain, and unlinks the rest.
+
+        ``keep_snapshots``: additionally EXPIRE old snapshots first,
+        keeping only the newest N manifests (time travel shrinks to
+        those); files referenced only by expired snapshots become
+        orphans and are swept in the same pass. Runs driver-side over
+        manifest metadata — O(files) name-set math, no Spark job; at
+        10^10 rows this is exactly Iceberg's maintenance shape
+        (metadata-only planning, storage-API deletes).
+
+        Single-writer maintenance op: run it like compaction, not
+        concurrently with an ingest (a concurrent UNCOMMITTED write's
+        files would look orphaned)."""
+        chain = self.history()
+        if keep_snapshots is not None and len(chain) > keep_snapshots:
+            cut = chain[-keep_snapshots:]
+            # re-link the oldest kept manifest as the new chain root
+            root = self._load_manifest(cut[0])
+            root.pop("_name", None)
+            root["parent_name"] = None
+            root["parent_id"] = -1
+            with open(os.path.join(self.path, _MANIFESTS, cut[0]), "w") as f:
+                json.dump(root, f)
+            for name in chain[: -keep_snapshots]:
+                try:
+                    os.unlink(os.path.join(self.path, _MANIFESTS, name))
+                except OSError:
+                    pass
+            chain = cut
+        referenced: set[str] = set()
+        for name in chain:
+            m = self._load_manifest(name)
+            for files in m["buckets"].values():
+                referenced.update(os.path.realpath(f) for f in files)
+        data_root = os.path.join(self.path, _DATA)
+        removed = kept = 0
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                if os.path.realpath(full) in referenced:
+                    kept += 1
+                else:
+                    try:
+                        os.unlink(full)
+                        removed += 1
+                    except OSError:
+                        pass
+        # sweep now-empty snapshot dirs
+        for dirpath, dirs, files in os.walk(data_root, topdown=False):
+            if not dirs and not files and dirpath != data_root:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {"removed": removed, "kept": kept, "snapshots": len(chain)}
 
     def drop(self):
         if os.path.isdir(self.path):

@@ -80,3 +80,121 @@ def test_sessionize_golden(spark):
     stats = {r["user_id"]: (r["n_sessions"], r["max_session_events"])
              for r in session_stats(df, gap_minutes=30).collect()}
     assert stats == {1: (2, 2), 2: (1, 1)}
+
+
+def test_vacuum_orphans_sweeps_unreferenced_files(spark, tmp_path):
+    """Files left by crashed/conflicted writes (final-path direct
+    writer) are invisible but consume storage; vacuum_orphans removes
+    exactly the unreferenced ones and reads are unchanged."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 8).create(schema)
+    TS = dt.datetime(2020, 1, 1)
+    b = spark.createDataFrame(
+        [("u1", TS, 1, "v1", "insert"), ("u2", TS, 2, "v1", "insert")],
+        "url string, warc_ts timestamp, seq long, text string, op string",
+    )
+    t.merge_upsert(b)
+    # forge orphans: a fake crashed write's files
+    orphan_dir = os.path.join(str(tmp_path / "t"), "data", "s99999999-dead")
+    os.makedirs(orphan_dir)
+    for i in range(3):
+        with open(os.path.join(orphan_dir, f"b{i:05d}-dead.parquet"), "wb") as f:
+            f.write(b"not really parquet")
+    before = {r["url"] for r in t.read().collect()}
+    res = t.vacuum_orphans()
+    assert res["removed"] == 3 and res["kept"] >= 1
+    assert not os.path.exists(orphan_dir)  # emptied dir swept
+    assert {r["url"] for r in t.read().collect()} == before
+
+
+def test_vacuum_orphans_expires_old_snapshots(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(schema)
+    TS = dt.datetime(2020, 1, 1)
+    for i in range(4):
+        t.merge_upsert(spark.createDataFrame(
+            [(f"u{i}", TS, i, f"v{i}", "insert")],
+            "url string, warc_ts timestamp, seq long, text string, op string",
+        ))
+    assert len(t.history()) == 5  # create + 4 merges
+    res = t.vacuum_orphans(keep_snapshots=2)
+    assert res["snapshots"] == 2
+    assert len(t.history()) == 2
+    # current state intact; expired snapshot ids no longer resolvable
+    assert {r["url"] for r in t.read().collect()} == {"u0", "u1", "u2", "u3"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_at(1)
+
+
+def test_merge_upsert_retrying_converges_after_conflict(spark, tmp_path):
+    """Two writers planning from the same parent: the loser's retry
+    re-reads the winner's commit and converges (serializable outcome)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    path = str(tmp_path / "t")
+    TS = dt.datetime(2020, 1, 1)
+    t = SnapshotTable(spark, path, "url", 8).create(schema)
+    t.merge_upsert(spark.createDataFrame(
+        [("u1", TS, 1, "v1", "insert")],
+        "url string, warc_ts timestamp, seq long, text string, op string",
+    ))
+
+    # writer B plans from snapshot 1... then writer A commits snapshot 2
+    writer_b = SnapshotTable(spark, path, "url", 8)
+    orig = SnapshotTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, *args, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            # sneak writer A's commit in first, against the same parent
+            t.merge_upsert(spark.createDataFrame(
+                [("u2", TS, 2, "v2", "insert")],
+                "url string, warc_ts timestamp, seq long, text string, op string",
+            ))
+        return orig(self, *args, **kw)
+
+    SnapshotTable._commit = racing_commit
+    try:
+        writer_b.merge_upsert_retrying(spark.createDataFrame(
+            [("u3", TS, 3, "v3", "insert")],
+            "url string, warc_ts timestamp, seq long, text string, op string",
+        ))
+    finally:
+        SnapshotTable._commit = orig
+    assert {r["url"] for r in t.read().collect()} == {"u1", "u2", "u3"}
