@@ -52,6 +52,12 @@ def main(argv=None):
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--vacuum-before", metavar="TS",
                     help="GC tombstones with warc_ts older than TS")
+    ap.add_argument("--vacuum-orphans", action="store_true",
+                    help="GC data files unreachable from the manifest chain")
+    ap.add_argument("--expire-keep", type=int, metavar="N",
+                    help="with --vacuum-orphans: expire all but newest N snapshots")
+    ap.add_argument("--changes", nargs=2, type=int, metavar=("FROM", "TO"),
+                    help="print the snapshot-diff changelog between two snapshots")
     args = ap.parse_args(argv)
 
     from clinvar_ingest_spark.session import get_spark
@@ -78,6 +84,20 @@ def main(argv=None):
         res = tbl.compact()
         print(json.dumps({"compacted": bool(res),
                           "buckets": res.touched_buckets if res else []}))
+        return 0
+    if args.vacuum_orphans:
+        print(json.dumps(tbl.vacuum_orphans(keep_snapshots=args.expire_keep)))
+        return 0
+    if args.changes:
+        from pyspark.sql import functions as F
+
+        diff = tbl.changes_between(args.changes[0], args.changes[1])
+        for row in diff.select(
+            "url", "change_op",
+            F.col("before.seq").alias("seq_before"),
+            F.col("after.seq").alias("seq_after"),
+        ).toLocalIterator():
+            print(json.dumps(row.asDict()))
         return 0
     if args.vacuum_before:
         res = tbl.vacuum_tombstones(args.vacuum_before)
