@@ -56,16 +56,24 @@ class IngestPipeline:
         dedup_strategy: str = "window",
         merge_mode: str = "cow",
         derived: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+        fused_extract: bool = False,
     ):
         self.spark = spark
         self.source = source
         self.target = target
-        # default path is FUSED: the html→text extraction runs inside
-        # the direct writer's Python stage (one JVM→Python crossing:
-        # extract + parquet-encode together) instead of as a separate
-        # Column-level pandas UDF. A caller-supplied transform keeps
-        # the Column path (it may change schema / use other columns).
-        self._fused = transform is None and target.write_salts <= 1
+        # fused_extract=True runs the html→text extraction inside the
+        # direct writer's Python stage (ONE JVM→Python crossing:
+        # extract + parquet-encode together) instead of a Column-level
+        # pandas UDF stage. Measured A/B at 2M events: fused wins
+        # slightly at 1 core (fewer crossings) but loses ~15% at 4+
+        # cores — the separate ArrowEvalPython stage pipelines with the
+        # shuffle/write across cores, overlap the fused single stage
+        # gives up. Default is therefore the Column path; fuse only for
+        # low-parallelism/edge deployments. Byte-identity between the
+        # two paths is asserted in tests/test_extract.py.
+        self._fused = (
+            fused_extract and transform is None and target.write_salts <= 1
+        )
         self.transform = transform or self.default_transform
         self.dedup_strategy = dedup_strategy
         self.merge_mode = merge_mode

@@ -62,15 +62,14 @@ def test_fused_writer_extraction_byte_identical_to_column_path(spark, tmp_path):
     log = synthetic_change_log(spark, 1500, n_urls=200)
 
     t_fused = SnapshotTable(spark, str(tmp_path / "f"), "url", 8).create(pages)
-    p_fused = IngestPipeline(spark, ChangeLogSource(log), t_fused)
+    p_fused = IngestPipeline(
+        spark, ChangeLogSource(log), t_fused, fused_extract=True
+    )
     assert p_fused._fused
     p_fused.run_to_end(span=500)
 
     t_col = SnapshotTable(spark, str(tmp_path / "c"), "url", 8).create(pages)
-    p_col = IngestPipeline(
-        spark, ChangeLogSource(log), t_col,
-        transform=IngestPipeline.default_transform,  # forces Column path
-    )
+    p_col = IngestPipeline(spark, ChangeLogSource(log), t_col)  # default
     assert not p_col._fused
     p_col.run_to_end(span=500)
 

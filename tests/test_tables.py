@@ -136,3 +136,45 @@ def test_vacuum_tombstones(spark, tmp_table_dir):
     t.vacuum_tombstones(TS + dt.timedelta(5))
     assert t.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
     assert [r["url"] for r in t.read().collect()] == ["u2"]
+
+
+def test_direct_writer_roundtrips_timestamps_and_binary(spark, tmp_table_dir):
+    """The direct (pyarrow) writer must round-trip every column type the
+    pages schema uses bit-exactly — timestamps in particular: cross-batch
+    LWW compares STORED warc_ts against new events, so a shifted or
+    NTZ-mangled timestamp would silently corrupt merge ordering."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = SnapshotTable(spark, tmp_table_dir, "url", 4).create(schema)
+    ts = dt.datetime(2021, 6, 30, 23, 59, 59, 123456)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("u1", ts, 7, b"\x00\xffbin", "x", "insert")],
+            "url string, warc_ts timestamp, seq long, html binary, "
+            "text string, op string",
+        )
+    )
+    row = t.read().collect()[0]
+    assert row["warc_ts"] == ts  # microsecond-exact
+    assert bytes(row["html"]) == b"\x00\xffbin"
+    assert t.schema()["warc_ts"].dataType.typeName() == "timestamp"
+    # and the stored value participates correctly in a later LWW merge
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("u1", ts - dt.timedelta(seconds=1), 8, None, "stale", "update")],
+            "url string, warc_ts timestamp, seq long, html binary, "
+            "text string, op string",
+        )
+    )
+    assert t.read().collect()[0]["text"] == "x"  # older ts lost LWW
