@@ -71,8 +71,12 @@ class IngestPipeline:
         # gives up. Default is therefore the Column path; fuse only for
         # low-parallelism/edge deployments. Byte-identity between the
         # two paths is asserted in tests/test_extract.py.
+        # dedup_strategy="bucket_local" (single-shuffle merge) does its
+        # dedup inside the writer stage, so extraction must fuse there.
         self._fused = (
-            fused_extract and transform is None and target.write_salts <= 1
+            (fused_extract or dedup_strategy == "bucket_local")
+            and transform is None
+            and target.write_salts <= 1
         )
         self.transform = transform or self.default_transform
         self.dedup_strategy = dedup_strategy

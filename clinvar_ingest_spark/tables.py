@@ -538,6 +538,88 @@ class SnapshotTable:
             buckets.setdefault(int(r["bucket"]), []).append(r["path"])
         return {b: sorted(fs) for b, fs in buckets.items()}
 
+    def _merge_write_bucket_local(
+        self,
+        df: DataFrame,
+        out_dir: str,
+        order_cols: list[str],
+        op_col: str,
+        delete_op: str,
+        arrow_transform,
+        data_cols: list[str],
+    ) -> dict[int, list[str]]:
+        """Fused partition-local merge writer: per shuffle partition,
+        concat the Arrow batches, sort by (key, *order_cols) ascending
+        with nulls FIRST (matching the window path's DESC-nulls-last:
+        a NULL version column always loses), keep the last row per key
+        (the LWW winner), convert ``op`` to the tombstone flag, apply
+        the writer-stage transform (extraction), and stream per-bucket
+        parquet files at final paths.
+
+        Memory: one partition = one-or-few buckets resident as a single
+        Arrow table — bucket sizing (n_buckets vs total rows) is the
+        knob that keeps this inside executor memory at scale, the same
+        knob that sizes CoW rewrite units. Only the KEY column is ever
+        materialized to pandas (run-boundary detection); payload bytes
+        stay in Arrow until the parquet encoder."""
+        key = self.key_col
+        os.makedirs(out_dir, exist_ok=True)
+
+        def _proc(batches):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            parts = [pa.Table.from_batches([b]) for b in batches]
+            if not parts:
+                return
+            tbl = pa.concat_tables(parts)
+            if tbl.num_rows == 0:
+                return
+            tbl = tbl.sort_by(
+                [(key, "ascending")] + [(c, "ascending") for c in order_cols],
+                null_placement="at_start",
+            )
+            k = tbl[key].to_pandas()
+            last_of_run = np.flatnonzero(k.ne(k.shift(-1)).values)
+            tbl = tbl.take(last_of_run)
+            deleted = pc.equal(tbl[op_col], delete_op)
+            tbl = tbl.drop_columns([op_col]).append_column(
+                pa.field(DELETED_COL, pa.bool_()), pc.fill_null(deleted, False)
+            )
+            if arrow_transform is not None:
+                tbl = arrow_transform(tbl)
+            writers: dict[int, Any] = {}
+            paths: dict[int, str] = {}
+            for b in pc.unique(tbl[BUCKET_COL]).to_pylist():
+                sub = tbl.filter(pc.equal(tbl[BUCKET_COL], b))
+                p = os.path.join(
+                    out_dir, f"b{b:05d}-{uuid.uuid4().hex[:8]}.parquet"
+                )
+                paths[b] = p
+                w = pq.ParquetWriter(p, sub.schema, compression="snappy")
+                w.write_table(sub)
+                w.close()
+            out_schema = pa.schema([("bucket", pa.int32()), ("path", pa.string())])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sorted(paths), type=pa.int32()),
+                    pa.array([paths[b] for b in sorted(paths)], type=pa.string()),
+                ],
+                schema=out_schema,
+            )
+
+        rows = (
+            df.repartition(F.col(BUCKET_COL))
+            .mapInArrow(_proc, "bucket int, path string")
+            .collect()
+        )
+        buckets: dict[int, list[str]] = {}
+        for r in rows:
+            buckets.setdefault(int(r["bucket"]), []).append(r["path"])
+        return {b: sorted(fs) for b, fs in buckets.items()}
+
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None):
         """Full rewrite (CTAS analog: create_tables.py:224)."""
         m = self.current_manifest()
@@ -727,6 +809,53 @@ class SnapshotTable:
         ).select(*data_cols, op_col)
 
         everything = pruned_target.unionByName(batch.select(*data_cols, op_col))
+
+        if dedup_strategy == "bucket_local":
+            # SINGLE-SHUFFLE merge: bucket = f(key), so hash-partitioning
+            # on the bucket co-locates every version of a key; the LWW
+            # dedup is then PARTITION-LOCAL and runs inside the writer's
+            # Arrow stage together with extraction and parquet encode —
+            # one exchange total (vs repartition(key) + window + write
+            # repartition(bucket) = two), no Window node at all.
+            if post_merge_transform is not None:
+                raise ValueError(
+                    "bucket_local takes arrow_transform (writer-stage), "
+                    "not a Column-level post_merge_transform"
+                )
+            evolved = T.StructType(
+                [f for f in target_schema.fields if f.name != DELETED_COL]
+                + [T.StructField(f.name, f.dataType) for f in new_fields]
+                + [T.StructField(DELETED_COL, T.BooleanType())]
+            )
+            out_dir = os.path.join(
+                self.path, _DATA,
+                f"s{m['snapshot_id'] + 1:08d}-{uuid.uuid4().hex[:8]}",
+            )
+            new_bucket_files = (
+                self._merge_write_bucket_local(
+                    everything.select(*data_cols, op_col), out_dir,
+                    list(order_cols), op_col, delete_op, arrow_transform,
+                    data_cols,
+                )
+                if touched
+                else {}
+            )
+            buckets = {int(b): f for b, f in m["buckets"].items()}
+            for b in touched:
+                buckets[b] = new_bucket_files.get(b, [])
+            buckets = {b: f for b, f in buckets.items() if f}
+            n_after = _footer_rows([f for fs in buckets.values() for f in fs])
+            props = dict(m.get("properties", {}))
+            props.update(
+                properties() if callable(properties) else (properties or {})
+            )
+            sid, mp = self._commit(
+                buckets, evolved, props, m["snapshot_id"], {"n_rows": n_after},
+                read_mode=m.get("read_mode", "plain"),
+                order_cols=m.get("order_cols"),
+                parent_name=m["_name"],
+            )
+            return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
         if dedup_strategy == "window":
             par = self.spark.sparkContext.defaultParallelism * 2
