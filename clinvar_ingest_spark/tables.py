@@ -817,6 +817,17 @@ class SnapshotTable:
             # Arrow stage together with extraction and parquet encode —
             # one exchange total (vs repartition(key) + window + write
             # repartition(bucket) = two), no Window node at all.
+            #
+            # Measured A/B vs the window plan (2M events, interleaved
+            # attempts): LOSES at every parallelism level — 0.75-0.9x at
+            # 1-4 cores, 0.3x at 32 — because each partition becomes ONE
+            # single-threaded Python unit (concat + sort + extract +
+            # encode) while the window plan streams Arrow batches through
+            # a Tungsten sort and pipelines the extract stage with the
+            # shuffle across cores. Kept as the shuffle-minimal variant
+            # for when the exchange, not compute, dominates (very wide
+            # rows, cheap/no transform, network-bound clusters); the
+            # default remains "window".
             if post_merge_transform is not None:
                 raise ValueError(
                     "bucket_local takes arrow_transform (writer-stage), "
