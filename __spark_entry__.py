@@ -632,6 +632,88 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with REAL data-dependent centroids: one Lloyd step from
+    deterministic modulo seeding (seeds = per-(id%k) means, refine =
+    re-mean after nearest-seed assignment; 6dp-rounded so the oracle
+    reproduces the exact constants). Replaces the first-N-vectors
+    stand-in with an actual quantizer."""
+    from clinvar_ingest_spark.operators.ann import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, n_cells=8, n_probe=2,
+        centroid_mode="kmeans1",
+    ).orderBy("query_id", "rank")
+
+
+_SQL_ANN_IVF_KMEANS = """
+WITH ex AS (
+  SELECT vec_id, embedding,
+         unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id % 8 AS cell, pos, round(avg(val), 6) AS c
+  FROM ex GROUP BY 1, 2
+),
+seeds AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM seed GROUP BY cell),
+a0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, s.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.centroid)
+                      DESC, s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1
+),
+ex1 AS (
+  SELECT cell, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM a0
+),
+ref AS (SELECT cell, pos, round(avg(val), 6) AS c FROM ex1 GROUP BY 1, 2),
+cents AS (
+  SELECT cell AS cell_id, list(c ORDER BY pos) AS centroid FROM ref GROUP BY cell
+  UNION ALL
+  SELECT cell, centroid FROM seeds
+  WHERE cell NOT IN (SELECT DISTINCT cell FROM ref)
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE rn <= 2
+),
+pairs AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]), 4)
+           AS cos_sim
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
     from clinvar_ingest_spark.operators.ann import cosine_topk
@@ -2118,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "running_total": q_running_total,
@@ -2212,6 +2295,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_bucketed": _SQL_ANN_LSH,
         "ann_lsh_hyperplane": _sql_ann_hyperplane(),
+        "ann_ivf_kmeans": _SQL_ANN_IVF_KMEANS,
         "ann_ivf": _SQL_ANN_IVF,
         "multimodal_features": _SQL_MULTIMODAL,
         "running_total": _SQL_RUNNING_TOTAL,

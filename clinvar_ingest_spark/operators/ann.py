@@ -67,11 +67,80 @@ def sign_bucket(vec_col, n_bits: int = 4):
     return b
 
 
+def _assign_to_cents(
+    corpus: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shuffle-free nearest-centroid assignment: centroids ride the plan
+    as an array literal; argmax via transform + array_max/array_position
+    (first max ⇒ lowest cell id on ties) in one narrow pass."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in v]) for _c, v in cent_rows]
+    )
+    cell_id_lit = F.array(*[F.lit(int(c)) for c, _v in cent_rows])
+    sims = F.transform(cent_lit, lambda c: cosine(F.col(vec_col), c))
+    best = F.array_position(sims, F.array_max(sims)).cast("int")
+    return corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "cell_id", F.element_at(cell_id_lit, best)
+    )
+
+
+def kmeans1_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """REAL data-dependent IVF centroids: one Lloyd step from
+    deterministic seeding.
+
+    * seeds: element-wise mean of each ``id % n_cells`` group —
+      deterministic, engine-reproducible (no RNG);
+    * one refinement: every vector is assigned to its nearest seed
+      (cosine, shuffle-free literal argmax), means are recomputed per
+      assigned cell; a cell that lost all members keeps its seed.
+
+    Means are rounded to 6 dp at each step so the identical centroid
+    constants arise in DuckDB's replay (sum-order float drift is
+    absorbed by the rounding). At 100 TB the means run over a SAMPLE
+    first (the estimator converges at ~10⁵ vectors/cell); the two
+    aggregation passes here are already the sampled shape.
+    """
+    def _avg_rows(df, cell_col):
+        rows = (
+            df.select(
+                cell_col.alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+            .collect()
+        )
+        out: dict[int, dict[int, float]] = {}
+        for r in rows:
+            out.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["c"])
+        return {
+            c: [byp[p] for p in sorted(byp)] for c, byp in out.items()
+        }
+
+    seeds = _avg_rows(
+        corpus, (F.col(id_col) % n_cells).cast("int")
+    )
+    seed_list = sorted(seeds.items())
+    assigned = _assign_to_cents(corpus, seed_list, id_col, vec_col)
+    refined = _avg_rows(assigned, F.col("cell_id"))
+    final = {**seeds, **refined}  # empty cells keep their seed centroid
+    return sorted(final.items())
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "first",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic centroids (the first
     ``n_cells`` vectors by id — a seeded-sample stand-in for k-means;
@@ -89,32 +158,25 @@ def ivf_assign(
     ordered by id in the literal; array_position takes the first max),
     matching the previous window tiebreak.
     """
-    cent_rows = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
-        .collect()
-    )
+    if centroid_mode == "kmeans1":
+        pairs = kmeans1_centroids(corpus, n_cells, id_col, vec_col)
+    elif centroid_mode == "first":
+        rows = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
+            .collect()
+        )
+        pairs = [(int(r["cell_id"]), [float(x) for x in r["centroid"]]) for r in rows]
+    else:
+        raise ValueError(f"unknown centroid_mode {centroid_mode!r}")
     cents = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            cent_rows,
-            corpus.select(
-                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
-            ).schema,
+            [(c, v) for c, v in pairs],
+            "cell_id int, centroid array<double>",
         )
     )
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in r["centroid"]])
-            for r in cent_rows
-        ]
-    )
-    cell_id_lit = F.array(*[F.lit(r["cell_id"]) for r in cent_rows])
-    sims = F.transform(cent_lit, lambda c: cosine(F.col(vec_col), c))
-    best = F.array_position(sims, F.array_max(sims)).cast("int")
-    assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "cell_id", F.element_at(cell_id_lit, best)
-    )
+    assigned = _assign_to_cents(corpus, pairs, id_col, vec_col)
     return cents, assigned
 
 
@@ -126,13 +188,14 @@ def ivf_cosine_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "first",
 ) -> DataFrame:
     """IVF ANN: queries probe their ``n_probe`` nearest cells and score
     only vectors in those cells — the classic inverted-file scale path
     (candidates ≈ corpus · n_probe / n_cells instead of the full scan).
     Recall < 1 by design; determinism comes from the fixed centroids
     and (rounded sim, id) ranking."""
-    cents, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    cents, assigned = ivf_assign(corpus, n_cells, id_col, vec_col, centroid_mode)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     q_cells = q.crossJoin(cents).select(
         "query_id", "qv", "cell_id",
