@@ -991,7 +991,7 @@ def q_large_orders(spark, sf_dir):
 _SQL_Q18 = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, total_qty
 FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 50) t
 JOIN orders ON l_orderkey = o_orderkey
 ORDER BY total_qty DESC, o_orderkey
 """
@@ -2135,6 +2135,66 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: correlated avg — revenue from lineitems below 20% of
+    their part's average quantity. The correlated subquery plans as one
+    aggregate + an equi join on the correlation key."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = (
+        li.groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY 1) a USING (l_partkey)
+WHERE l.l_quantity < a.qty_cut
+"""
+
+
+def q_fast_movers_suppliers(spark, sf_dir):
+    """Q20 shape: nested semi joins — suppliers who shipped more than
+    50 units of one part in 1995 (EXISTS over an aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_Q20 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE year(l_shipdate) = 1995
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50)
+ORDER BY s_suppkey
+"""
+
+
 _SQL_CDC_STATE = """
 WITH log AS (
   SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
@@ -2233,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndjson_roundtrip": q_ndjson_roundtrip,
         "top_supplier_revenue": q_top_supplier_revenue,
         "returned_items": q_returned_items,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "fast_movers_suppliers": q_fast_movers_suppliers,
     }
 
 
@@ -2322,6 +2384,8 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ndjson_roundtrip": _SQL_NDJSON_RT,
         "top_supplier_revenue": _SQL_TOP_SUPPLIER,
         "returned_items": _SQL_RETURNED,
+        "small_quantity_revenue": _SQL_Q17,
+        "fast_movers_suppliers": _SQL_Q20,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,

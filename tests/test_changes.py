@@ -122,3 +122,23 @@ def test_changes_between_prunes_to_changed_buckets(spark, tmp_table_dir):
     assert [(r["url"], r["change_op"]) for r in diff.collect()] == [
         ("u7", "update")
     ]
+
+
+def test_changes_between_on_merge_on_read_table(spark, tmp_table_dir):
+    """Snapshot diff across MoR delta commits: read() LWW-resolves each
+    side, so the diff sees logical state, not raw delta files."""
+    t = SnapshotTable(spark, tmp_table_dir, "url", 8).create(SCHEMA)
+    t.merge_upsert(
+        _batch(spark, [("u1", TS, 1, "v1", "insert"),
+                       ("u2", TS, 2, "v1", "insert")]),
+        merge_mode="mor",
+    )  # snapshot 1
+    t.merge_upsert(
+        _batch(spark, [("u1", TS + dt.timedelta(1), 3, "v2", "update"),
+                       ("u2", TS + dt.timedelta(1), 4, None, "delete")]),
+        merge_mode="mor",
+    )  # snapshot 2: appended deltas only
+    got = {
+        r["url"]: r["change_op"] for r in t.changes_between(1, 2).collect()
+    }
+    assert got == {"u1": "update", "u2": "delete"}
