@@ -1,14 +1,20 @@
 """Approximate nearest-neighbor search over embedding columns.
 
-Two physical strategies:
+Four physical strategies, all oracle-checked:
 
 * ``cosine_topk`` — exact brute force: broadcast the (small) query set
   against the corpus, rank per query. O(|Q|·n) dot products, all inside
   codegen'd higher-order functions; the right plan when |Q| is small.
-* ``lsh_cosine_topk`` — random-hyperplane-style bucketing (deterministic
-  sign-bit planes) so each query only scans its bucket: the scale path
-  when |Q|·n is too big. Recall < 1 by design; the oracle replays the
-  same buckets so correctness is checked exactly.
+* ``lsh_cosine_topk`` — sign-of-first-dims bucketing (the simplest
+  deterministic bucketer; kept as the minimal variant).
+* ``hyperplane_lsh_topk`` — REAL random-hyperplane cosine LSH with
+  md5-seeded deterministic planes: textbook (1 − θ/π)^n collision bound.
+* ``ivf_cosine_topk`` — inverted-file cells with a shuffle-free
+  centroid-literal assignment; ``centroid_mode="kmeans1"`` gives real
+  data-dependent centroids (one Lloyd step from deterministic seeding).
+
+Bucketed variants' recall < 1 by design; the oracles replay the same
+buckets/cells so correctness is checked exactly.
 """
 
 from __future__ import annotations
