@@ -991,7 +991,7 @@ def q_large_orders(spark, sf_dir):
 _SQL_Q18 = """
 SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, total_qty
 FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 50) t
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
 JOIN orders ON l_orderkey = o_orderkey
 ORDER BY total_qty DESC, o_orderkey
 """
