@@ -714,6 +714,66 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """Int8-quantized brute-force ANN: embeddings compress 4× (per-vector
+    scale + int8 codes) and cosine — scale-invariant — runs directly on
+    the codes. The storage/shuffle lever for 10^10-vector corpora;
+    oracle reproduces the exact quantization (floor(x/s + 0.5))."""
+    from clinvar_ingest_spark.functions.similarity import cosine, quantize_i8
+
+    e = _t(spark, sf_dir, "embeddings")
+    qz = e.select(
+        "vec_id", quantize_i8(F.col("embedding")).getField("q").alias("q")
+    )
+    q = F.broadcast(
+        qz.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+        )
+    )
+    c = qz.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("cq"))
+    pairs = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qq"), F.col("cq")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_ANN_QUANTIZED = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> CAST(floor(x / (greatest(
+                  list_max(list_transform(embedding::DOUBLE[], v -> abs(v))),
+                  1e-30) / 127.0) + 0.5) AS INTEGER)
+         ) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.q::DOUBLE[], b.q::DOUBLE[]), 4)
+           AS cos_sim
+  FROM qz a CROSS JOIN qz b WHERE a.vec_id < 5
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
     from clinvar_ingest_spark.operators.ann import cosine_topk
@@ -2261,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "running_total": q_running_total,
@@ -2358,6 +2419,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ann_lsh_bucketed": _SQL_ANN_LSH,
         "ann_lsh_hyperplane": _sql_ann_hyperplane(),
         "ann_ivf_kmeans": _SQL_ANN_IVF_KMEANS,
+        "ann_quantized_topk": _SQL_ANN_QUANTIZED,
         "ann_ivf": _SQL_ANN_IVF,
         "multimodal_features": _SQL_MULTIMODAL,
         "running_total": _SQL_RUNNING_TOTAL,

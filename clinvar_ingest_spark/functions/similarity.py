@@ -170,3 +170,24 @@ def cosine(a: Column, b: Column) -> Column:
         F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
     return dot / (na * nb)
+
+
+def quantize_i8(vec: Column) -> Column:
+    """Scalar int8 quantization of a float vector: per-vector scale
+    ``max|x| / 127``, codes ``floor(x/scale + 0.5)`` ∈ [-127, 127].
+
+    The 100-TB lever for embedding columns: 4× less storage/shuffle than
+    float32, and cosine is SCALE-INVARIANT, so similarity search runs
+    directly on the int codes (cos(q_a, q_b) ≈ cos(a, b) with ≤ ~1e-2
+    error at 64 dims) — no dequantize pass. ``floor(+0.5)`` instead of
+    round(): identical half-way behavior in every engine (round() ties
+    differ between Spark's HALF_UP and other engines), so the oracle
+    reproduces the exact codes. Zero vectors quantize to zero codes via
+    the scale floor.
+    """
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    codes = F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )
+    return F.struct(scale.alias("scale"), codes.alias("q"))

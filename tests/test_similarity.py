@@ -184,3 +184,40 @@ def test_hyperplane_bucket_uses_whole_vector(spark):
         ).collect()
     }
     assert got[1] != got[2]
+
+
+def test_quantize_i8_codes_bounded_and_cosine_close(spark):
+    """Int8 codes stay in [-127, 127]; quantized cosine tracks the
+    float cosine within ~1e-2 at 64 dims (scale invariance)."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.similarity import cosine, quantize_i8
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qz = e.select(
+        "vec_id", "embedding",
+        quantize_i8(F.col("embedding")).getField("q").alias("q"),
+    )
+    bounds = qz.select(
+        F.max(F.array_max("q")).alias("hi"), F.min(F.array_min("q")).alias("lo")
+    ).collect()[0]
+    assert bounds["hi"] <= 127 and bounds["lo"] >= -127
+
+    a = qz.filter(F.col("vec_id") == 0).first()
+    pair = (
+        qz.filter(F.col("vec_id").isin(0, 1))
+        .agg(
+            F.collect_list("embedding").alias("es"),
+            F.collect_list("q").alias("qs"),
+        )
+        .select(
+            cosine(F.element_at("es", 1), F.element_at("es", 2)).alias("cf"),
+            cosine(
+                F.element_at("qs", 1).cast("array<double>"),
+                F.element_at("qs", 2).cast("array<double>"),
+            ).alias("cq"),
+        )
+        .collect()[0]
+    )
+    assert a is not None
+    assert abs(pair["cf"] - pair["cq"]) < 1e-2
