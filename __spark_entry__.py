@@ -774,6 +774,73 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Policy dedup: near-identical docs (same normalized fingerprint)
+    keep the HIGHEST-quality copy, not the lowest id — the production
+    curation policy. max_by aggregate (map-side combinable, skew-proof
+    like exact_dedup), tiebreak (quality desc, doc_id asc)."""
+    from clinvar_ingest_spark.functions.text import fingerprint, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    return (
+        scored.groupBy("fp")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("q"), -F.col("doc_id"))
+            ).alias("keeper"),
+            F.max("q").alias("best_q"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("fp")
+    )
+
+
+def q_corpus_curation_funnel(spark, sf_dir):
+    """The LLM-corpus curation funnel composed end-to-end in ONE plan:
+    language gate → quality threshold → fingerprint dedup (keep best)
+    → per-source token budget rollup. Every stage is a codegen'd
+    column expression or a map-side-combinable aggregate — the whole
+    funnel is two shuffles (dedup group-by + final rollup) at any
+    corpus size."""
+    from clinvar_ingest_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gated = (
+        d.select(
+            "doc_id", "source", "text",
+            lang_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).alias("q"),
+            token_count(F.col("text")).alias("n_tok"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+        .filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+    )
+    survivors = gated.groupBy("fp").agg(
+        F.max_by(
+            F.struct("doc_id", "source", "n_tok"),
+            F.struct(F.col("q"), -F.col("doc_id")),
+        ).alias("best")
+    )
+    return (
+        survivors.groupBy(F.col("best.source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("best.n_tok").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
     from clinvar_ingest_spark.operators.ann import cosine_topk
@@ -1500,9 +1567,66 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
 ORDER BY doc_a, doc_b
 """
+    # --- shared scalar fragments (identical math to the Spark exprs) --
+    q_expr = """
+round(0.4 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+    + 0.4 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+             THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  t -> list_contains(EN_WORDS, t))) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END)
+    + 0.2 * (1.0 - CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, 'PUNCT_RE', '', 'g')) AS DOUBLE)
+                  / length(text) ELSE 0 END), 4)
+""".replace("EN_WORDS", repr(en)).replace("PUNCT_RE", PUNCT_PATTERN).strip()
+
+    dedup_best = f"""
+WITH s AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp, {q_expr} AS q FROM documents
+),
+r AS (
+  SELECT fp, doc_id, q,
+         row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n,
+         max(q) OVER (PARTITION BY fp) AS bq
+  FROM s
+)
+SELECT fp, doc_id AS keeper, bq AS best_q, n AS n_copies
+FROM r WHERE rn = 1 ORDER BY fp
+"""
+
+    lang_case = (
+        f"CASE WHEN regexp_matches(lower(text), '{CJK_PATTERN}') THEN 'zh' "
+        f"{ladder} ELSE 'unknown' END"
+    )
+    funnel = f"""
+WITH h AS (
+  SELECT doc_id, source, text,
+         {', '.join(f'{e} AS h_{g}' for g, e in hits.items())}
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         md5(lower(trim(text))) AS fp,
+         {q_expr} AS q,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM h
+  WHERE ({lang_case}) = 'en'
+),
+gated AS (SELECT * FROM g WHERE q >= 0.5),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY fp
+                               ORDER BY q DESC, doc_id ASC) AS rn
+  FROM gated
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM r WHERE rn = 1 GROUP BY source ORDER BY source
+"""
+
     return {
         "doc_token_count": token_count,
         "doc_lang_id": langid,
+        "dedup_keep_best": dedup_best,
+        "corpus_curation_funnel": funnel,
         "doc_quality_score": quality,
         "minhash_signatures": minhash,
         "minhash_lsh_dedup": lsh,
@@ -2322,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_curation_funnel": q_corpus_curation_funnel,
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "running_total": q_running_total,
