@@ -61,15 +61,78 @@ def extract_text_py(html: bytes | None) -> str | None:
     return _RE_WS.sub(" ", s).strip()
 
 
-@pandas_udf(StringType())
-def _extract_text_udf(html: pd.Series) -> pd.Series:
-    # Vectorized pandas string ops over the whole Arrow batch; the regex
-    # objects are shared with the scalar reference impl, so the two
-    # paths are byte-identical by construction.
+# ---- Arrow/RE2 fast path -------------------------------------------
+# pyarrow.compute string kernels are RE2-backed C++ — measured ~1.3x the
+# CPython-regex pandas chain on KB pages (microbench), on the operator
+# that is ~47% of merge wall time. End-to-end wall is NOISE-NEUTRAL at
+# local[4] (the UDF stage overlaps shuffle/write), but the CPU-seconds
+# saved are real — at cluster scale cores are the budget, so the cheaper
+# kernel wins. Byte-identity with extract_text_py is preserved:
+#
+# * RE2 has no backreferences → the markup alternation names each block
+#   tag explicitly (same leftmost-first semantics);
+# * RE2's \s ≠ Python's \s → an explicit char class of the EXACT 29
+#   codepoints Python's \s matches (asserted in tests);
+# * entities: fixed-string replaces, non-&amp; first and &amp; LAST —
+#   provably equal to the single left-to-right pass (no non-amp
+#   replacement output contains '&', and a global single-pattern pass
+#   never rescans its own output);
+# * Arrow's utf8 cast is STRICT — a batch containing invalid UTF-8
+#   falls back to the pandas chain (errors="replace"), keeping lossy
+#   decode behavior identical.
+_WS_CHARS = "".join(
+    chr(c)
+    for c in (
+        0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+        0x85, 0xA0, 0x1680,
+        0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+        0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+    )
+)  # the EXACT 29 codepoints Python's \\s matches (tests assert this)
+_RE2_WS = "[" + _WS_CHARS + "]+"
+_RE2_MARKUP = (
+    r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>"
+    r"|<noscript\b.*?</noscript\s*>|<!--.*?-->|<[^>]*>"
+)
+_NON_AMP_ENTITIES = ["&lt;", "&gt;", "&quot;", "&#39;", "&apos;", "&nbsp;"]
+
+
+def _extract_arrow(binary_arr):
+    """RE2 path over a pyarrow binary array; None if the batch holds
+    invalid UTF-8 (caller falls back to the lossy-decode pandas path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        txt = binary_arr.cast(pa.string())
+    except pa.lib.ArrowInvalid:
+        return None
+    out = pc.replace_substring_regex(txt, pattern=_RE2_MARKUP, replacement=" ")
+    for ent in _NON_AMP_ENTITIES:
+        out = pc.replace_substring(out, pattern=ent, replacement=_ENTITY_MAP[ent])
+    out = pc.replace_substring(out, pattern="&amp;", replacement="&")
+    out = pc.replace_substring_regex(out, pattern=_RE2_WS, replacement=" ")
+    return pc.utf8_trim(out, characters=_WS_CHARS)
+
+
+def _extract_pandas(html: pd.Series) -> pd.Series:
+    """CPython-regex fallback (lossy utf-8 decode), shared regex objects
+    with the scalar reference impl — byte-identical by construction."""
     s = html.map(lambda b: None if b is None else b.decode("utf-8", errors="replace"))
     s = s.str.replace(_RE_MARKUP, " ", regex=True)
     s = s.str.replace(_RE_ENTITY, _decode_entity, regex=True)
     return s.str.replace(_RE_WS, " ", regex=True).str.strip()
+
+
+@pandas_udf(StringType())
+def _extract_text_udf(html: pd.Series) -> pd.Series:
+    import pyarrow as pa
+
+    arr = pa.Array.from_pandas(html, type=pa.binary())
+    fast = _extract_arrow(arr)
+    if fast is not None:
+        return fast.to_pandas()
+    return _extract_pandas(html)
 
 
 def extract_text(html_col: Column | str) -> Column:

@@ -80,3 +80,54 @@ def test_fused_writer_extraction_byte_identical_to_column_path(spark, tmp_path):
         (r["url"], r["seq"], r["text"]) for r in p_col.current_state().collect()
     )
     assert a == b and len(a) > 100
+
+
+def test_re2_fast_path_byte_identical_to_reference():
+    """The Arrow/RE2 extraction must equal extract_text_py byte-for-byte
+    on adversarial inputs: entity nesting, unicode whitespace, unclosed
+    blocks, attribute '>' — and the char class must be EXACTLY Python's
+    \\s set (RE2's \\s is narrower)."""
+    import re
+
+    import pyarrow as pa
+
+    from clinvar_ingest_spark.functions.extract import (
+        _WS_CHARS,
+        _extract_arrow,
+        extract_text_py,
+    )
+
+    py_ws = {chr(c) for c in range(0x11000) if re.match(r"\s", chr(c))}
+    assert set(_WS_CHARS) == py_ws
+
+    adv = [
+        "&amp;lt; &amp;amp; &lt;x&gt;",
+        "a\xa0b c\x1c d \x85e  f　g",
+        "<SCRIPT>x</script >tail", "<style a=b>z</style\t>q",
+        "<noscript>n</noscript>m", "<!-- <p>no</p> -->keep",
+        "<p title='a>b'>odd</p>", "text &nbsp;&quot;q&quot;",
+        "", "   ", "&#39;x&apos;", " line sep",
+        "<script>never closed", "<x", "a & b < c",
+        "<script>a</script><style>b</style>c<!--d-->e",
+    ]
+    arr = pa.array([x.encode() for x in adv], type=pa.binary())
+    got = _extract_arrow(arr).to_pylist()
+    want = [extract_text_py(x.encode()) for x in adv]
+    assert got == want
+
+
+def test_invalid_utf8_falls_back_to_lossy_decode():
+    import pandas as pd
+    import pyarrow as pa
+
+    from clinvar_ingest_spark.functions.extract import (
+        _extract_arrow,
+        _extract_pandas,
+        extract_text_py,
+    )
+
+    raw = [b"<p>ok\xff\xfe</p>", b"<p>fine</p>", None]
+    assert _extract_arrow(pa.array(raw, type=pa.binary())) is None  # strict cast
+    got = _extract_pandas(pd.Series(raw)).tolist()
+    want = [extract_text_py(b) for b in raw]
+    assert got == want and got[0] == "ok��"
