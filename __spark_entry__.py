@@ -553,6 +553,20 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Pair graph → duplicate CLUSTERS via iterative min-label
+    connected components (one shuffle join per round, lineage truncated
+    per iteration) — the step between candidate pairs and one-keeper-
+    per-group dedup. Oracle computes the transitive closure with a
+    recursive CTE."""
+    from clinvar_ingest_spark.operators.components import dedup_clusters
+    from clinvar_ingest_spark.operators.similarity_dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.2, band_prefix=4)
+    return dedup_clusters(pairs)
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash (16-bit, frequency-weighted) bucket stats."""
     from clinvar_ingest_spark.operators.similarity_dedup import simhash_buckets
@@ -1506,6 +1520,41 @@ SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper
 FROM s GROUP BY simhash ORDER BY simhash
 """
 
+    # --- near-dup clusters: verified pairs → recursive transitive
+    # closure → min-label components (the Spark side iterates; SQL
+    # recurses — same fixpoint) ---------------------------------------
+    clusters = "WITH RECURSIVE " + sh_cte.replace("WITH ", "", 1) + f""",
+sig AS (SELECT doc_id, {mh_cols} FROM sh),
+bands AS ({bands_union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+prs AS (
+  SELECT doc_a, doc_b FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.2
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT component AS keeper, count(*) AS n_members,
+       array_to_string(list_transform(list_sort(list(node)),
+                                      x -> CAST(x AS VARCHAR)), '|')
+         AS members
+FROM comp GROUP BY 1 ORDER BY 1
+"""
+
     # --- capped LSH: identical pipeline + HAVING count(*) <= cap on
     # band buckets before the candidate self-join -------------------
     lsh_capped = sh_cte + f""",
@@ -1631,6 +1680,7 @@ FROM r WHERE rn = 1 GROUP BY source ORDER BY source
         "minhash_signatures": minhash,
         "minhash_lsh_dedup": lsh,
         "minhash_lsh_capped": lsh_capped,
+        "near_dup_clusters": clusters,
         "simhash_buckets": simhash,
         "simhash_near_dup": simhash_nd,
     }
@@ -2439,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "minhash_lsh_capped": q_minhash_lsh_capped,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_buckets": q_simhash_buckets,
         "simhash_near_dup": q_simhash_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
