@@ -109,11 +109,29 @@ def test_re2_fast_path_byte_identical_to_reference():
         "", "   ", "&#39;x&apos;", " line sep",
         "<script>never closed", "<x", "a & b < c",
         "<script>a</script><style>b</style>c<!--d-->e",
+        # round-2 ADVICE divergence cases: Unicode whitespace inside the
+        # closer, non-ASCII char glued to the tag name (Python \b vs RE2
+        # ASCII \b split the old per-engine patterns here)
+        "<script>x</script\xa0>after",
+        "<script\xe9>x</script>",
+        "<SCR\u0130PT>x</script>",        # (?i) full-fold trap: \u0130 is NOT i
+        "<script/defer>gone</script>kept",
+        "<scriptx>y</script>",            # prefix-only name = generic tag
+        "<script type=x>g</script\u3000>t",
+        "<style>a<script>b</script></style>c",
     ]
     arr = pa.array([x.encode() for x in adv], type=pa.binary())
     got = _extract_arrow(arr).to_pylist()
     want = [extract_text_py(x.encode()) for x in adv]
     assert got == want
+
+
+def test_judge_reported_divergence_cases():
+    """Pin the exact semantics of the round-2 ADVICE reproducers."""
+    from clinvar_ingest_spark.functions.extract import extract_text_py
+
+    assert extract_text_py("<script>x</script\xa0>after".encode()) == "after"
+    assert extract_text_py("<script\xe9>x</script>".encode()) == "x"
 
 
 def test_invalid_utf8_falls_back_to_lossy_decode():
@@ -131,3 +149,27 @@ def test_invalid_utf8_falls_back_to_lossy_decode():
     got = _extract_pandas(pd.Series(raw)).tolist()
     want = [extract_text_py(b) for b in raw]
     assert got == want and got[0] == "ok��"
+
+
+def test_utf8_fallback_is_per_row():
+    """Rows with invalid UTF-8 take the lossy pandas path; VALID rows in
+    the same batch still take the Arrow path — output is a pure function
+    of the row, independent of batch composition (round-2 ADVICE)."""
+    import pandas as pd
+
+    from clinvar_ingest_spark.functions.extract import (
+        _extract_text_udf,
+        extract_text_py,
+    )
+
+    raw = [b"<p>ok\xff\xfe</p>", b"<p>fine</p>", None,
+           "<script>x</script\xa0>after".encode(), b"\xff<script>"]
+    fn = _extract_text_udf.func  # unwrap the pandas_udf
+    got = fn(pd.Series(raw)).tolist()
+    want = [extract_text_py(b) for b in raw]
+    assert got == want and got[0] == "ok��"
+    # batch-composition independence: each row alone == row in the batch
+    for b, w in zip(raw, want):
+        assert fn(pd.Series([b])).tolist() == [w]
+    # and in reversed batch order
+    assert fn(pd.Series(list(reversed(raw)))).tolist() == list(reversed(want))
