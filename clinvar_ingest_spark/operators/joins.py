@@ -81,7 +81,16 @@ def range_join(
         return _binned_inner(left)
     if how != "left":
         raise ValueError(f"binned range_join supports inner/left, got {how!r}")
-    l0 = left.withColumn("_rj_id", F.monotonically_increasing_id())
+    # Deterministic row id derived from the row's OWN content — never
+    # monotonically_increasing_id(), which is recomputed independently in
+    # the inner-join and anti-join plan branches and is not stable under
+    # AQE re-partitioning / task retry (silent row loss or duplication).
+    # to_json(struct(*)) is injective across distinct rows (null fields
+    # are omitted, so rows colliding would need identical non-null
+    # fields AND therefore identical null sets); content-identical left
+    # rows sharing an id is semantically safe: they match the same right
+    # rows, so they are either all in the inner branch or all unmatched.
+    l0 = left.withColumn("_rj_id", F.to_json(F.struct(*left.columns)))
     inner = _binned_inner(l0)
     unmatched = l0.join(inner.select("_rj_id"), "_rj_id", "left_anti")
     for f in right.schema.fields:
