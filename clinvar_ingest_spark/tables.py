@@ -166,8 +166,17 @@ class SnapshotTable:
             m = self._load_manifest(name)
             if "parent_name" not in m:  # legacy manifest: no chain info
                 d = os.path.join(self.path, _MANIFESTS)
-                legacy = sorted(os.listdir(d))
-                return legacy[: legacy.index(chain[0]) ] + list(reversed(chain))
+                legacy = sorted(n for n in os.listdir(d) if n.startswith("m-"))
+                # prefix = names strictly OLDER than the legacy manifest
+                # the walk stopped at (chain[-1]), minus anything already
+                # on the chain — slicing at chain[0] (the CURRENT head)
+                # re-included every walked ancestor, duplicating them and
+                # letting vacuum_orphans expire a kept manifest.
+                seen = set(chain)
+                prefix = [
+                    n for n in legacy[: legacy.index(chain[-1])] if n not in seen
+                ]
+                return prefix + list(reversed(chain))
             name = m["parent_name"]
         return list(reversed(chain))
 
@@ -333,6 +342,66 @@ class SnapshotTable:
         """Time travel: read the table as of an older snapshot."""
         return self.read(snapshot=self.manifest_at(snapshot_id))
 
+    # ------------------------------------------------------------------ lock
+    _LOCK_TTL = 30.0  # break locks whose mtime is older than this
+
+    def _acquire_lock(self, wait: float = 10.0) -> str:
+        """Take the table's commit lock, recovering from stale holders.
+
+        The lock file records the holder's pid; a lock is STALE when its
+        mtime is older than ``_LOCK_TTL`` (the portable signal — commits
+        hold it for milliseconds) or, best-effort on a local FS, when the
+        recorded pid is no longer alive. A writer SIGKILLed between lock
+        creation and the finally-unlink previously wedged the table
+        forever (every commit, including merge_upsert_retrying, spun the
+        full wait and raised). Breaking is race-safe: contenders rename
+        the stale lock to a unique name first, so exactly one wins."""
+        lock = os.path.join(self.path, _LOCK)
+        deadline = time.monotonic() + wait
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                if self._lock_is_stale(lock):
+                    grave = lock + f".stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, grave)  # one breaker wins
+                        os.unlink(grave)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"commit lock {lock} held >{wait}s by a live "
+                        f"writer; concurrent writer wedged or overloaded"
+                    ) from None
+                time.sleep(0.05)
+
+    def _lock_is_stale(self, lock: str) -> bool:
+        try:
+            st = os.stat(lock)
+        except OSError:
+            return False  # vanished — normal release, retry acquire
+        if time.time() - st.st_mtime > self._LOCK_TTL:
+            return True
+        try:
+            with open(lock) as f:
+                pid = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return False  # unreadable/foreign lock: trust the TTL only
+        if pid <= 0 or pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)  # signal 0 = liveness probe
+            return False
+        except ProcessLookupError:
+            return True  # holder died without releasing
+        except PermissionError:
+            return False  # alive, different user
+
     # ----------------------------------------------------------------- write
     def _commit(
         self,
@@ -374,20 +443,7 @@ class SnapshotTable:
             manifest["order_cols"] = list(order_cols)
         name = f"m-{sid:08d}-{uuid.uuid4().hex[:8]}.json"
         mpath = os.path.join(self.path, _MANIFESTS, name)
-        lock = os.path.join(self.path, _LOCK)
-        deadline = time.monotonic() + 10.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise CommitConflictError(
-                        f"commit lock {lock} held >10s; stale lock or "
-                        f"concurrent writer wedged"
-                    ) from None
-                time.sleep(0.05)
+        lock = self._acquire_lock()
         try:
             current = self._read_ptr()
             if current != parent_name:
@@ -1041,22 +1097,34 @@ class SnapshotTable:
         Single-writer maintenance op: run it like compaction, not
         concurrently with an ingest (a concurrent UNCOMMITTED write's
         files would look orphaned)."""
-        chain = self.history()
-        if keep_snapshots is not None and len(chain) > keep_snapshots:
-            cut = chain[-keep_snapshots:]
-            # re-link the oldest kept manifest as the new chain root
-            root = self._load_manifest(cut[0])
-            root.pop("_name", None)
-            root["parent_name"] = None
-            root["parent_id"] = -1
-            with open(os.path.join(self.path, _MANIFESTS, cut[0]), "w") as f:
-                json.dump(root, f)
-            for name in chain[: -keep_snapshots]:
-                try:
-                    os.unlink(os.path.join(self.path, _MANIFESTS, name))
-                except OSError:
-                    pass
-            chain = cut
+        lock = self._acquire_lock()
+        try:
+            chain = self.history()
+            if keep_snapshots is not None and len(chain) > keep_snapshots:
+                cut = chain[-keep_snapshots:]
+                # re-link the oldest kept manifest as the new chain root;
+                # write-tempfile + os.replace so a crash mid-rewrite can
+                # never leave a truncated manifest (which would break
+                # history() and therefore every future commit)
+                root = self._load_manifest(cut[0])
+                root.pop("_name", None)
+                root["parent_name"] = None
+                root["parent_id"] = -1
+                fd, tmp = tempfile.mkstemp(dir=os.path.join(self.path, _MANIFESTS))
+                with os.fdopen(fd, "w") as f:
+                    json.dump(root, f)
+                os.replace(tmp, os.path.join(self.path, _MANIFESTS, cut[0]))
+                for name in chain[: -keep_snapshots]:
+                    try:
+                        os.unlink(os.path.join(self.path, _MANIFESTS, name))
+                    except OSError:
+                        pass
+                chain = cut
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
         referenced: set[str] = set()
         for name in chain:
             m = self._load_manifest(name)

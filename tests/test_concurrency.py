@@ -163,3 +163,83 @@ def test_stream_restart_with_fresh_checkpoint_loses_nothing(spark, tmp_path):
         (r["url"], r["seq"]) for r in tbl.read().select("url", "seq").collect()
     )
     assert state2 == state1
+
+
+def test_stale_lock_from_dead_writer_is_broken(spark, tmp_table_dir):
+    """A writer SIGKILLed between lock creation and release must not
+    wedge the table: the next commit detects the dead pid (or an
+    over-TTL mtime) and breaks the lock instead of raising."""
+    t = SnapshotTable(spark, tmp_table_dir, "url", 8).create(SCHEMA)
+    t.merge_upsert(_batch(spark, [("u1", TS, 1, "v1", "insert")]))
+
+    lock = os.path.join(tmp_table_dir, "_commit.lock")
+    # a pid that is certainly dead: fork a child that exits immediately
+    pid = os.fork()
+    if pid == 0:
+        os._exit(0)
+    os.waitpid(pid, 0)
+    with open(lock, "w") as f:
+        f.write(str(pid))
+    # fresh mtime + dead pid → broken by the liveness probe
+    t.merge_upsert(_batch(spark, [("u2", TS, 2, "v1", "insert")]))
+    assert {r["url"] for r in t.read().collect()} == {"u1", "u2"}
+    assert not os.path.exists(lock)
+
+    # unreadable foreign lock, mtime past TTL → broken by age
+    with open(lock, "w") as f:
+        f.write("not-a-pid")
+    old = os.stat(lock).st_mtime - 3600
+    os.utime(lock, (old, old))
+    t.merge_upsert(_batch(spark, [("u3", TS, 3, "v1", "insert")]))
+    assert t.read().count() == 3
+    assert not os.path.exists(lock)
+
+
+def test_live_lock_still_blocks_commit(spark, tmp_table_dir):
+    """A FRESH lock held by a live pid (this process) must still make a
+    concurrent commit wait and fail — stale-breaking must not turn the
+    lock into a no-op."""
+    t = SnapshotTable(spark, tmp_table_dir, "url", 8).create(SCHEMA)
+    t.merge_upsert(_batch(spark, [("u1", TS, 1, "v1", "insert")]))
+    lock = os.path.join(tmp_table_dir, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        with pytest.raises(CommitConflictError):
+            t._acquire_lock(wait=0.5)
+    finally:
+        os.unlink(lock)
+
+
+def test_history_with_legacy_manifest_chain(spark, tmp_table_dir):
+    """Pre-upgrade manifests (no parent_name) must appear exactly once in
+    history(), and expiry over a mixed chain must not unlink a kept
+    manifest (round-2 ADVICE: the legacy prefix duplicated walked
+    ancestors)."""
+    import json
+
+    t = SnapshotTable(spark, tmp_table_dir, "url", 8).create(SCHEMA)
+    t.merge_upsert(_batch(spark, [("u1", TS, 1, "v1", "insert")]))
+    t.merge_upsert(_batch(spark, [("u2", TS, 2, "v1", "insert")]))
+    t.merge_upsert(_batch(spark, [("u3", TS, 3, "v1", "insert")]))
+    chain = t.history()
+    assert len(chain) == 4  # create + 3 merges
+
+    # strip parent_name from the SECOND manifest → walk stops there,
+    # legacy fallback must splice in only the strictly-older prefix
+    mdir = os.path.join(tmp_table_dir, "_manifests")
+    legacy_name = chain[1]
+    with open(os.path.join(mdir, legacy_name)) as f:
+        m = json.load(f)
+    del m["parent_name"]
+    with open(os.path.join(mdir, legacy_name), "w") as f:
+        json.dump(m, f)
+
+    got = t.history()
+    assert got == chain  # same order, no duplicates
+    assert len(set(got)) == len(got)
+
+    # expiry keeps the newest 2 and must leave them readable
+    t.vacuum_orphans(keep_snapshots=2)
+    assert len(t.history()) == 2
+    assert t.read().count() == 3  # state intact
