@@ -59,3 +59,66 @@ def test_change_feed_converges_to_batch_lww(spark, tmp_path):
     # emissions per key ≤ number of micro-batches, and strictly fewer
     # emissions than events (the state machine dedups)
     assert feed.count() < 600
+
+
+def test_state_gc_evicts_and_blocks_resurrection(spark, tmp_path):
+    """With watermark+retention: (1) a key whose winner aged past the
+    watermark is EVICTED (state store bounded, 'expired' audit row);
+    (2) a late-arriving STALE event for the evicted key is dropped by
+    the watermark and cannot resurrect the deleted winner."""
+    import datetime as dt
+    import os
+
+    D = dt.datetime
+    files = [
+        # batch 1: 'old' gets deleted at 10:00; 'live' created at 10:00
+        [("old", D(2024, 1, 1, 10, 0), 1, "delete"),
+         ("live", D(2024, 1, 1, 10, 0), 2, "update")],
+        # batch 2: 'live' advances event time to 12:00 → watermark moves
+        # to 11:50 (10 min delay), far past old's 10:00+60s retention
+        [("live", D(2024, 1, 1, 12, 0), 3, "update")],
+        # batch 3: nudge event time again so the timeout fires, plus a
+        # LATE STALE event for 'old' (09:00 < watermark) — must be dropped
+        [("live", D(2024, 1, 1, 12, 30), 4, "update"),
+         ("old", D(2024, 1, 1, 9, 0), 0, "update")],
+    ]
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for i, rows in enumerate(files):
+        p = str(log_dir / f"b{i}.parquet")
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, seq long, op string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        # file stream processes oldest-mtime first → force batch order
+        for dirpath, _d, fs in os.walk(p):
+            for f in fs:
+                os.utime(os.path.join(dirpath, f), (1000 + i, 1000 + i))
+        os.utime(p, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(log_dir) + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        lww_change_feed(stream, watermark="10 minutes", retention="11 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+    feed = spark.read.parquet(out_dir).collect()
+    by_url = {}
+    for r in sorted(feed, key=lambda r: (r["warc_ts"] or D(1970, 1, 1))):
+        by_url.setdefault(r["url"], []).append(r["transition"])
+    # 'old': deleted, then expired by GC — and NEVER re-created by the
+    # late stale event
+    assert by_url["old"] == ["deleted", "expired"], by_url
+    # 'live' survives normally
+    assert by_url["live"][0] == "created"
+    assert "expired" not in by_url["live"]
