@@ -647,53 +647,70 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def q_ann_ivf_kmeans(spark, sf_dir):
-    """IVF ANN with REAL data-dependent centroids: one Lloyd step from
-    deterministic modulo seeding (seeds = per-(id%k) means, refine =
-    re-mean after nearest-seed assignment; 6dp-rounded so the oracle
-    reproduces the exact constants). Replaces the first-N-vectors
-    stand-in with an actual quantizer."""
+    """IVF ANN with REAL data-dependent centroids trained the way a
+    10^10-vector index would be: TWO Lloyd steps over a deterministic
+    1-in-3 sample (seeds = per-(id%k) sample means; each step re-means
+    after nearest-centroid assignment; 6dp-rounded so the oracle
+    reproduces the exact constants), then ONE shuffle-free assignment
+    of the full corpus. The quantizer trains on a sliver; the corpus is
+    touched once."""
     from clinvar_ingest_spark.operators.ann import ivf_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
         e, e.filter(F.col("vec_id") < 5), k=5, n_cells=8, n_probe=2,
-        centroid_mode="kmeans1",
+        centroid_mode="kmeans",
     ).orderBy("query_id", "rank")
 
 
-_SQL_ANN_IVF_KMEANS = """
-WITH ex AS (
-  SELECT vec_id, embedding,
-         unnest(embedding::DOUBLE[]) AS val,
+def _sql_ann_ivf_kmeans(n_cells=8, n_steps=2, sample_mod=3,
+                        n_probe=2, k=5) -> str:
+    """Unrolled DuckDB replay of kmeans_centroids + ivf_cosine_topk:
+    seeds from the id%sample_mod sample, n_steps Lloyd iterations (each
+    an assign CTE + a re-mean CTE with empty-cell carryover), then the
+    full-corpus assignment / probe / rank."""
+    steps = []
+    prev = "cents0"
+    for i in range(1, n_steps + 1):
+        steps.append(f"""
+a{i} AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT s.vec_id, s.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY list_cosine_similarity(s.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM samp s CROSS JOIN {prev} c) WHERE rn = 1
+),
+ex{i} AS (
+  SELECT cell_id, unnest(embedding::DOUBLE[]) AS val,
          unnest(range(1, len(embedding) + 1)) AS pos
-  FROM embeddings
+  FROM a{i}
+),
+ref{i} AS (SELECT cell_id, pos, round(avg(val), 6) AS c FROM ex{i} GROUP BY 1, 2),
+cents{i} AS (
+  SELECT cell_id, list(c ORDER BY pos) AS centroid FROM ref{i} GROUP BY cell_id
+  UNION ALL
+  SELECT cell_id, centroid FROM {prev}
+  WHERE cell_id NOT IN (SELECT DISTINCT cell_id FROM ref{i})
+)""")
+        prev = f"cents{i}"
+    return f"""
+WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {sample_mod} = 0
+),
+ex AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM samp
 ),
 seed AS (
-  SELECT vec_id % 8 AS cell, pos, round(avg(val), 6) AS c
+  SELECT vec_id % {n_cells} AS cell_id, pos, round(avg(val), 6) AS c
   FROM ex GROUP BY 1, 2
 ),
-seeds AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM seed GROUP BY cell),
-a0 AS (
-  SELECT vec_id, embedding, cell FROM (
-    SELECT e.vec_id, e.embedding, s.cell,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.centroid)
-                      DESC, s.cell ASC) AS rn
-    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1
-),
-ex1 AS (
-  SELECT cell, unnest(embedding::DOUBLE[]) AS val,
-         unnest(range(1, len(embedding) + 1)) AS pos
-  FROM a0
-),
-ref AS (SELECT cell, pos, round(avg(val), 6) AS c FROM ex1 GROUP BY 1, 2),
-cents AS (
-  SELECT cell AS cell_id, list(c ORDER BY pos) AS centroid FROM ref GROUP BY cell
-  UNION ALL
-  SELECT cell, centroid FROM seeds
-  WHERE cell NOT IN (SELECT DISTINCT cell FROM ref)
-),
+cents0 AS (
+  SELECT cell_id, list(c ORDER BY pos) AS centroid FROM seed GROUP BY cell_id
+),{",".join(steps)},
 assigned AS (
   SELECT vec_id, embedding, cell_id FROM (
     SELECT e.vec_id, e.embedding, c.cell_id,
@@ -701,7 +718,7 @@ assigned AS (
              PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid)
                       DESC, c.cell_id ASC) AS rn
-    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1
 ),
 probes AS (
   SELECT query_id, qv, cell_id FROM (
@@ -710,7 +727,7 @@ probes AS (
              PARTITION BY q.vec_id
              ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid)
                       DESC, c.cell_id ASC) AS rn
-    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE rn <= 2
+    FROM embeddings q CROSS JOIN {prev} c WHERE q.vec_id < 5) WHERE rn <= {n_probe}
 ),
 pairs AS (
   SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
@@ -724,9 +741,11 @@ ranked AS (
   FROM pairs
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
-WHERE rank <= 5 ORDER BY query_id, rank
+WHERE rank <= {k} ORDER BY query_id, rank
 """
 
+
+_SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
 
 def q_ann_quantized_topk(spark, sf_dir):
     """Int8-quantized brute-force ANN: embeddings compress 4× (per-vector

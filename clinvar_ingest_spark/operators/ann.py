@@ -93,26 +93,32 @@ def _assign_to_cents(
     )
 
 
-def kmeans1_centroids(
+def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_steps: int = 1,
+    sample_mod: int | None = None,
 ) -> list[tuple[int, list[float]]]:
-    """REAL data-dependent IVF centroids: one Lloyd step from
-    deterministic seeding.
+    """REAL data-dependent IVF centroids: ``n_steps`` Lloyd iterations
+    over a deterministic sample.
 
-    * seeds: element-wise mean of each ``id % n_cells`` group —
-      deterministic, engine-reproducible (no RNG);
-    * one refinement: every vector is assigned to its nearest seed
-      (cosine, shuffle-free literal argmax), means are recomputed per
-      assigned cell; a cell that lost all members keeps its seed.
+    * sample: ``id % sample_mod == 0`` — a fixed, engine-reproducible
+      subset (no RNG); the Lloyd estimator converges at ~10⁵
+      vectors/cell, so at 10^10 vectors the quantizer trains on a
+      sliver while the FULL corpus is only touched by the final
+      shuffle-free assignment. Pick sample_mod coprime with n_cells so
+      the modulo seeding still covers every cell.
+    * seeds: element-wise mean of each ``id % n_cells`` group of the
+      sample;
+    * each step: assign the sample to its nearest centroid (cosine,
+      shuffle-free literal argmax), recompute per-cell means; a cell
+      that lost all members keeps its previous centroid.
 
     Means are rounded to 6 dp at each step so the identical centroid
     constants arise in DuckDB's replay (sum-order float drift is
-    absorbed by the rounding). At 100 TB the means run over a SAMPLE
-    first (the estimator converges at ~10⁵ vectors/cell); the two
-    aggregation passes here are already the sampled shape.
+    absorbed by the rounding).
     """
     def _avg_rows(df, cell_col):
         rows = (
@@ -131,14 +137,27 @@ def kmeans1_centroids(
             c: [byp[p] for p in sorted(byp)] for c, byp in out.items()
         }
 
-    seeds = _avg_rows(
-        corpus, (F.col(id_col) % n_cells).cast("int")
-    )
-    seed_list = sorted(seeds.items())
-    assigned = _assign_to_cents(corpus, seed_list, id_col, vec_col)
-    refined = _avg_rows(assigned, F.col("cell_id"))
-    final = {**seeds, **refined}  # empty cells keep their seed centroid
-    return sorted(final.items())
+    sample = corpus
+    if sample_mod is not None and sample_mod > 1:
+        sample = corpus.filter(F.col(id_col) % sample_mod == 0)
+    cents = _avg_rows(sample, (F.col(id_col) % n_cells).cast("int"))
+    for _ in range(max(n_steps, 0)):
+        assigned = _assign_to_cents(sample, sorted(cents.items()), id_col, vec_col)
+        refined = _avg_rows(assigned, F.col("cell_id"))
+        cents = {**cents, **refined}  # empty cells keep previous centroid
+    return sorted(cents.items())
+
+
+def kmeans1_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """One full-corpus Lloyd step (the round-2 quantizer, kept for
+    compatibility); see :func:`kmeans_centroids` for the sampled
+    multi-step path."""
+    return kmeans_centroids(corpus, n_cells, id_col, vec_col, n_steps=1)
 
 
 def ivf_assign(
@@ -166,6 +185,12 @@ def ivf_assign(
     """
     if centroid_mode == "kmeans1":
         pairs = kmeans1_centroids(corpus, n_cells, id_col, vec_col)
+    elif centroid_mode == "kmeans":
+        # production shape: 2 Lloyd steps over the deterministic 1-in-3
+        # sample (coprime with n_cells=8 so every cell gets a seed)
+        pairs = kmeans_centroids(
+            corpus, n_cells, id_col, vec_col, n_steps=2, sample_mod=3
+        )
     elif centroid_mode == "first":
         rows = (
             corpus.orderBy(id_col)
