@@ -1818,10 +1818,49 @@ def _events_as_change_log(spark, sf_dir):
     )
 
 
+def _documents_as_change_log(spark, sf_dir):
+    """documents → 2-version change log: v1 is a stale draft that LWW
+    must supersede, v2 the real text (or a delete tombstone for every
+    13th doc) — so the curated corpus downstream is wrong unless
+    versioning AND tombstones worked."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://docs.site/d"), F.col("doc_id").cast("string"))
+
+    def _v(epoch, seq, op, text):
+        html = F.when(
+            op != "delete",
+            F.encode(F.concat(F.lit("<p>"), text, F.lit("</p>")), "UTF-8"),
+        )
+        return d.select(
+            (F.col("doc_id") % 4).cast("int").alias("part"),
+            seq.alias("seq"),
+            op.alias("op"),
+            url.alias("url"),
+            F.timestamp_seconds(F.lit(epoch) + F.col("doc_id")).alias("warc_ts"),
+            html.alias("html"),
+        )
+
+    v1 = _v(
+        1704067200,  # 2024-01-01
+        F.col("doc_id") * 2,
+        F.lit("update"),
+        F.concat(F.col("text"), F.lit(" draft pending review")),
+    )
+    v2 = _v(
+        1706745600,  # 2024-02-01
+        F.col("doc_id") * 2 + 1,
+        F.when(F.col("doc_id") % 13 == 0, F.lit("delete")).otherwise(
+            F.lit("update")
+        ),
+        F.col("text"),
+    )
+    return v1.unionByName(v2)
+
+
 def _run_cdc(
     spark, sf_dir, n_batches: int, resume_midway: bool = False,
     merge_mode: str = "cow", return_table: bool = False,
-    return_pipe: bool = False, derived=None,
+    return_pipe: bool = False, derived=None, log_builder=None,
 ):
     import tempfile
 
@@ -1839,7 +1878,7 @@ def _run_cdc(
             T.StructField("text", T.StringType()),
         ]
     )
-    log = _events_as_change_log(spark, sf_dir)
+    log = (log_builder or _events_as_change_log)(spark, sf_dir)
     src = ChangeLogSource(log)
     end = src.max_seq()
     span = end // n_batches + 1
@@ -1928,6 +1967,113 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
        CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
        max(seq) AS max_seq
 FROM state GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cdc_curated_corpus(spark, sf_dir):
+    """The curation funnel THROUGH the pipeline: a 2-version change log
+    built from documents (stale drafts + delete tombstones) is ingested
+    by the real merge machinery, and a derived curation table
+    (MinHash+LSH pairs → connected-component clusters → quality keeper,
+    operators/curation.py) is refreshed after each batch. The oracle
+    replays log → LWW → shingle/minhash/band → recursive-CTE closure →
+    keeper-by-quality entirely in SQL, so the driver gate proves the
+    whole near-dup curation path end-to-end — wrong LWW, wrong clusters,
+    or a wrong keeper policy all break the hash."""
+    from clinvar_ingest_spark.operators.curation import derive_curated_corpus
+
+    pipe = _run_cdc(
+        spark, sf_dir, n_batches=2, return_pipe=True,
+        log_builder=_documents_as_change_log,
+        derived={"curated_corpus": derive_curated_corpus},
+    )
+    return (
+        pipe.derived_table("curated_corpus")
+        .select("cluster", "keeper", "n_members", "best_q")
+        .orderBy("cluster")
+    )
+
+
+_SQL_CDC_CURATED = """
+WITH RECURSIVE
+log AS (
+  SELECT doc_id, 1 AS v, doc_id * 2 AS seq, 'update' AS op,
+         text || ' draft pending review' AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS v, doc_id * 2 + 1 AS seq,
+         CASE WHEN doc_id % 13 = 0 THEN 'delete' ELSE 'update' END, text
+  FROM documents
+),
+winners AS (
+  SELECT doc_id, op, text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, seq DESC) AS rn
+  FROM log
+),
+state AS (SELECT doc_id, text FROM winners WHERE rn = 1 AND op <> 'delete'),
+t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM state),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(len(toks) - 2, 0) + 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t),
+sig AS (SELECT doc_id,
+         list_min(list_transform(sh, s -> md5('0|' || s))) AS mh0,
+         list_min(list_transform(sh, s -> md5('1|' || s))) AS mh1,
+         list_min(list_transform(sh, s -> md5('2|' || s))) AS mh2,
+         list_min(list_transform(sh, s -> md5('3|' || s))) AS mh3 FROM sh),
+bands AS (
+  SELECT doc_id, 0 AS band_id, substr(mh0, 1, 4) AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, substr(mh1, 1, 4) FROM sig
+  UNION ALL SELECT doc_id, 2, substr(mh2, 1, 4) FROM sig
+  UNION ALL SELECT doc_id, 3, substr(mh3, 1, 4) FROM sig),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+prs AS (
+  SELECT doc_a, doc_b FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.2
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+qual AS (
+  SELECT doc_id, round(0.4 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+    + 0.4 * (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+             THEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  tk -> list_contains(['the', 'a', 'and', 'of', 'to', 'is', 'in'], tk))) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END)
+    + 0.2 * (1.0 - CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                  / length(text) ELSE 0 END), 4) AS q
+  FROM state
+),
+labeled AS (
+  SELECT s.doc_id, q.q, COALESCE(c.component, s.doc_id) AS cluster
+  FROM state s JOIN qual q USING (doc_id)
+  LEFT JOIN comp c ON c.node = s.doc_id
+),
+r AS (
+  SELECT cluster, doc_id, q,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY q DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n,
+         round(max(q) OVER (PARTITION BY cluster), 4) AS bq
+  FROM labeled
+)
+SELECT cluster, doc_id AS keeper, n AS n_members, bq AS best_q
+FROM r WHERE rn = 1 ORDER BY cluster
 """
 
 
@@ -2498,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_domain_stats": q_cdc_domain_stats,
+        "cdc_curated_corpus": q_cdc_curated_corpus,
         "snapshot_changes": q_snapshot_changes,
         "tree_disassemble": q_tree_disassemble,
         "event_time_windows": q_event_time_windows,
@@ -2660,6 +2807,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "small_quantity_revenue": _SQL_Q17,
         "fast_movers_suppliers": _SQL_Q20,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
+        "cdc_curated_corpus": _SQL_CDC_CURATED,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
         "min_cost_lineitems": _SQL_MIN_COST,

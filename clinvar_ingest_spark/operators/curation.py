@@ -1,0 +1,68 @@
+"""Corpus curation as a pipeline-derived table.
+
+The LLM-training curation shape, run as a materialized view over the
+CDC pages state: near-dup candidate PAIRS (MinHash+LSH, banded equi
+join — never O(n²)) → duplicate CLUSTERS (connected components,
+pointer-doubling label propagation) → ONE keeper per cluster chosen by
+QUALITY (not by id): the document a trainer would actually keep.
+Singleton documents (no near-dup) form their own clusters, so the
+output IS the curated corpus, one row per surviving document.
+
+This upgrades the exact-fingerprint dedup in the curation funnel to
+transitive near-dup dedup: A≈B and B≈C collapse to one keeper even
+when A and C never collide in any LSH band.
+
+Scale: LSH candidate generation is banded/bucket-capped (see
+similarity_dedup.py), components is O(E) per round × O(log diameter)
+rounds, the keeper choice is one max_by aggregate — every stage is a
+keyed shuffle, nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.functions.text import quality_score
+from clinvar_ingest_spark.operators.components import connected_components
+from clinvar_ingest_spark.operators.similarity_dedup import minhash_lsh_dedup
+
+DOC_ID_RE = r"/d(\d+)$"
+
+
+def derive_curated_corpus(
+    pages: DataFrame,
+    threshold: float = 0.2,
+    band_prefix: int = 4,
+) -> DataFrame:
+    """Derived-table callable for :class:`IngestPipeline`: pages state
+    (url, text, ...) → (cluster, keeper, n_members, best_q).
+
+    ``cluster`` is the component's min doc_id (stable cluster identity);
+    ``keeper`` is the member with the highest quality score, ties to the
+    lowest doc_id."""
+    docs = pages.select(
+        F.regexp_extract("url", DOC_ID_RE, 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    pairs = minhash_lsh_dedup(docs, threshold=threshold, band_prefix=band_prefix)
+    comp = connected_components(pairs)
+    labeled = (
+        docs.withColumn("q", quality_score(F.col("text")))
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            "q",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("q"), (-F.col("doc_id")).alias("nd"))
+            ).alias("keeper"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.max("q"), 4).alias("best_q"),
+        )
+    )

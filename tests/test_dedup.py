@@ -93,3 +93,36 @@ def test_bucket_local_merge_equals_window_merge(spark, tmp_path):
         )
     assert states["window"] == states["bucket_local"]
     assert len(states["window"]) > 100
+
+
+def test_derive_curated_corpus_keeper_by_quality(spark):
+    """Cluster keeper = highest quality (NOT lowest id); singletons
+    survive as their own cluster."""
+    from clinvar_ingest_spark.operators.curation import derive_curated_corpus
+
+    near_a = "the quick brown fox jumps over the lazy dog again and again ok"
+    near_b = "the quick brown fox jumps over the lazy dog again and again, ok"
+    pages = spark.createDataFrame(
+        [
+            ("https://docs.site/d1", near_a),    # dup pair, LOWER quality
+            ("https://docs.site/d2", near_b),    # (punct) — keeper is by q
+            ("https://docs.site/d7", "completely different singleton text"),
+        ],
+        "url string, text string",
+    )
+    out = {
+        r["cluster"]: (r["keeper"], r["n_members"])
+        for r in derive_curated_corpus(pages, threshold=0.5).collect()
+    }
+    assert out[7] == (7, 1)
+    assert 1 in out and out[1][1] == 2
+    # keeper decided by the quality formula, deterministically
+    from clinvar_ingest_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    q = {
+        r["url"]: r["q"]
+        for r in pages.select("url", quality_score(F.col("text")).alias("q")).collect()
+    }
+    want_keeper = 1 if q["https://docs.site/d1"] >= q["https://docs.site/d2"] else 2
+    assert out[1][0] == want_keeper
