@@ -59,7 +59,13 @@ HEADLINE = [
 def _session(cores: int):
     from clinvar_ingest_spark.session import get_spark
 
-    return get_spark(f"bench-c{cores}", master=f"local[{cores}]")
+    return get_spark(
+        f"bench-c{cores}",
+        master=f"local[{cores}]",
+        # keep the artifact parseable: stage-progress bars are stderr
+        # spam that otherwise lands in the driver's captured tail
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
 
 def _stop(spark):
