@@ -2077,6 +2077,57 @@ FROM r WHERE rn = 1 ORDER BY cluster
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: fixed 25-token windows per document,
+    shuffle-free (split/sequence/explode/slice, all codegen)."""
+    from clinvar_ingest_spark.operators.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=25).orderBy("doc_id", "chunk_id")
+
+
+_SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(floor((len(toks) - 1) / 25) AS BIGINT) + 1))
+           AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(toks[chunk_id * 25 + 1 : chunk_id * 25 + 25]) AS INTEGER)
+         AS n_tokens,
+       array_to_string(toks[chunk_id * 25 + 1 : chunk_id * 25 + 25], ' ')
+         AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_domain_stratified_sample(spark, sf_dir):
+    """Class-balanced corpus sample: ≤20 docs per language, picked by
+    md5-hash order of the id — deterministic, engine-reproducible."""
+    from clinvar_ingest_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, stratum_col="lang", per_stratum=20).orderBy(
+        "lang", "rk"
+    )
+
+
+_SQL_STRATIFIED = """
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+) WHERE rk <= 20 ORDER BY lang, rk
+"""
+
+
 def q_snapshot_changes(spark, sf_dir):
     """Snapshot-diff changelog (reference temporal post-process analog,
     stored_procedures.py:30-36): replay the log in 2 batches through the
@@ -2714,6 +2765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_quantized_topk": q_ann_quantized_topk,
         "multimodal_features": q_multimodal_features,
+        "doc_chunks": q_doc_chunks,
+        "domain_stratified_sample": q_domain_stratified_sample,
     }
 
 
@@ -2808,6 +2861,8 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "fast_movers_suppliers": _SQL_Q20,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
         "cdc_curated_corpus": _SQL_CDC_CURATED,
+        "doc_chunks": _SQL_DOC_CHUNKS,
+        "domain_stratified_sample": _SQL_STRATIFIED,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
         "min_cost_lineitems": _SQL_MIN_COST,

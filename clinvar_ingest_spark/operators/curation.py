@@ -20,7 +20,7 @@ keyed shuffle, nothing quadratic, nothing driver-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinvar_ingest_spark.functions.text import quality_score
@@ -65,4 +65,64 @@ def derive_curated_corpus(
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.max("q"), 4).alias("best_q"),
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks (context-window
+    prep for training pipelines): whitespace tokens, non-overlapping
+    windows of ``chunk_tokens``, last chunk ragged.
+
+    Pure codegen'd array ops — split / sequence / explode / slice —
+    so the explode is the only row expansion and there is NO shuffle at
+    all: chunking is a map-side transform that runs at scan parallelism
+    on 10^10 docs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    w = int(chunk_tokens)
+    chunked = (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((n - 1) / w).cast("int"))
+            ).alias("chunk_id"),
+        )
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * w + 1, w)
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic class-balanced sample: keep ≤``per_stratum`` rows
+    per stratum, chosen by md5-hash order of the id (reproducible
+    across engines and runs — no RNG, no sampleBy seed drift).
+
+    One keyed shuffle (window by stratum); the hash order makes the
+    pick uniform-ish regardless of ingestion order. At extreme stratum
+    skew the window sort is still O(n log n) per partition and the
+    stratum key can be salted two-level (pick per (stratum, salt), then
+    re-pick per stratum) — per-stratum quotas this small never need it."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_stratum)
+        .select(id_col, stratum_col, "rk")
     )

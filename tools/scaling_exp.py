@@ -60,16 +60,17 @@ def main():
     workdir = tempfile.mkdtemp(prefix="scalexp_")
     try:
         for cfg in cfgs:
+            c_lo, c_hi = cfg.get("lo", 1), cfg.get("hi", 4)
             for r in range(cfg.get("rounds", 1)):
-                lo, wl = leg(1, cfg["n"], workdir, f"lo{cfg['rep']}_{r}",
-                             cfg["rep"])
-                hi, wh = leg(4, cfg["n"], workdir, f"hi{cfg['rep']}_{r}",
-                             cfg["rep"])
+                lo, wl = leg(c_lo, cfg["n"], workdir,
+                             f"lo{cfg['rep']}_{c_lo}_{r}", cfg["rep"])
+                hi, wh = leg(c_hi, cfg["n"], workdir,
+                             f"hi{cfg['rep']}_{c_hi}_{r}", cfg["rep"])
                 print(json.dumps({
                     "cfg": cfg, "round": r,
                     "lo_eps": round(lo, 1), "lo_wall": round(wl, 1),
                     "hi_eps": round(hi, 1), "hi_wall": round(wh, 1),
-                    "eff": round(hi / (4 * lo), 3),
+                    "eff": round(hi / ((c_hi / c_lo) * lo), 3),
                 }), flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
