@@ -97,3 +97,16 @@ def test_ivf_assign_has_no_exchange_before_assignment(spark):
     plan = executed_plan(assigned)
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Context-window chunking must be a map-side transform: the explode
+    is the only row expansion, NO Exchange anywhere — at 10^10 docs it
+    runs at scan parallelism."""
+    from clinvar_ingest_spark.operators.curation import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = executed_plan(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
