@@ -2077,6 +2077,105 @@ FROM r WHERE rn = 1 ORDER BY cluster
 """
 
 
+def q_stream_change_feed(spark, sf_dir):
+    """Structured-Streaming change feed (applyInPandasWithState) as a
+    FULLY oracle-checked gate: the events-derived change log is split
+    into 3 files, one per micro-batch (file-source `maxFilesPerTrigger=1`
+    with forced distinct mtimes makes batch membership AND order
+    deterministic), streamed through the per-key LWW state machine, and
+    the complete emission set — one row per (url, batch) whose winner
+    changed, with its created/updated/deleted transition — is replayed
+    by the oracle as a cumulative-LWW window query. Round-2's streaming
+    check was rows-only because batch boundaries were nondeterministic;
+    pinning files to batches closes that gap."""
+    import os as _os
+    import tempfile as _tmp
+
+    from clinvar_ingest_spark.streaming.stateful import lww_change_feed
+
+    ev = _t(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+        F.lit("update")
+    )
+    url = F.concat(
+        F.lit("https://d"), (F.col("user_id") % 7).cast("string"),
+        F.lit(".site/u"), F.col("user_id").cast("string"),
+    )
+    log = ev.select(
+        url.alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        (F.col("event_id") % 3).cast("int").alias("b"),
+    )
+    root = _tmp.mkdtemp(prefix="stream_gate_")
+    log_dir = _os.path.join(root, "log")
+    for i in range(3):
+        p = _os.path.join(log_dir, f"b{i}.parquet")
+        log.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for dirpath, _d, fs in _os.walk(p):
+            for fname in fs:
+                _os.utime(_os.path.join(dirpath, fname), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir + "/*")
+    )
+    out_dir = _os.path.join(root, "out")
+    q = (
+        lww_change_feed(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", _os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("url", "warc_ts", "seq", "op", "transition")
+        .orderBy("url", "warc_ts", "seq")
+    )
+
+
+_SQL_STREAM_FEED = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         event_id % 3 AS b
+  FROM events
+),
+batches AS (SELECT DISTINCT b FROM log),
+-- winner of each url AFTER each batch = LWW over all events with b' <= b
+state AS (
+  SELECT u.url, bb.b, e.seq, e.op, e.warc_ts,
+         row_number() OVER (PARTITION BY u.url, bb.b
+                            ORDER BY e.warc_ts DESC, e.seq DESC) AS rn
+  FROM (SELECT DISTINCT url FROM log) u
+  CROSS JOIN batches bb
+  JOIN log e ON e.url = u.url AND e.b <= bb.b
+),
+trans AS (
+  SELECT url, b, seq, op, warc_ts,
+         lag(seq) OVER (PARTITION BY url ORDER BY b) AS prev_seq,
+         lag(op)  OVER (PARTITION BY url ORDER BY b) AS prev_op
+  FROM state WHERE rn = 1
+)
+SELECT url, warc_ts, seq, op,
+       CASE WHEN op = 'delete' THEN 'deleted'
+            WHEN prev_op IS NULL OR prev_op = 'delete' THEN 'created'
+            ELSE 'updated' END AS transition
+FROM trans
+WHERE prev_seq IS NULL OR prev_seq <> seq
+ORDER BY url, warc_ts, seq
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: fixed 25-token windows per document,
     shuffle-free (split/sequence/explode/slice, all codegen)."""
@@ -2699,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "tree_disassemble": q_tree_disassemble,
         "event_time_windows": q_event_time_windows,
+        "stream_change_feed": q_stream_change_feed,
         "ndjson_roundtrip": q_ndjson_roundtrip,
         "synthetic_ids": q_synthetic_ids,
         "clean_empty_tokens": q_clean_empty_tokens,
@@ -2740,10 +2840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "corpus_curation_funnel": q_corpus_curation_funnel,
         "dedup_keep_best": q_dedup_keep_best,
         # ============ driver correctness window ends here (50) =========
+        "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "running_total": q_running_total,
         "revenue_filter_agg": q_revenue_filter_agg,
@@ -2863,6 +2963,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_curated_corpus": _SQL_CDC_CURATED,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "domain_stratified_sample": _SQL_STRATIFIED,
+        "stream_change_feed": _SQL_STREAM_FEED,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
         "min_cost_lineitems": _SQL_MIN_COST,
