@@ -2227,6 +2227,134 @@ SELECT doc_id, lang, rk FROM (
 """
 
 
+def q_eval_decontamination(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id ≥ 20) sharing
+    any 13-token n-gram with the eval set (doc_id < 20) — the standard
+    eval-leakage scrub. Eval n-gram set broadcasts; the train corpus is
+    probed map-side."""
+    from clinvar_ingest_spark.operators.curation import flag_contaminated
+
+    d = _t(spark, sf_dir, "documents")
+    return flag_contaminated(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=13
+    ).orderBy("doc_id")
+
+
+_SQL_DECONTAM = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 12, 0) + 1),
+           i -> md5(array_to_string(toks[i : i + 12], ' ')))) AS gs
+  FROM t
+),
+tr AS (SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id >= 20),
+ev AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id < 20)
+SELECT tr.doc_id, count(DISTINCT tr.h) AS n_shared_ngrams
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id ORDER BY tr.doc_id
+"""
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization — the key-level dedup lever for crawl data:
+    mixed-case scheme/host, fragments, tracking params, default ports,
+    and trailing slashes all collapse to one canonical key. Dirty URLs
+    are derived deterministically from events; output = events per
+    canonical url."""
+    from clinvar_ingest_spark.functions.text import canonical_url
+
+    ev = _t(spark, sf_dir, "events")
+    dirty = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://D"), (F.col("user_id") % 7).cast("string"),
+            F.lit(".Site.COM:443/u"), F.col("user_id").cast("string"),
+            F.lit("/?utm_campaign=c"), (F.col("event_id") % 3).cast("string"),
+            F.lit("&q="), (F.col("event_id") % 5).cast("string"),
+            F.lit("&fbclid=zz#top"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://D"), (F.col("user_id") % 7).cast("string"),
+            F.lit(".Site.COM:80/p"), F.col("user_id").cast("string"),
+            F.lit("/"),
+        )
+    )
+    return (
+        ev.select(canonical_url(dirty).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("canon")
+    )
+
+
+_SQL_CANONICAL = """
+WITH dirty AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN
+    'HTTPS://D' || CAST(user_id % 7 AS VARCHAR) || '.Site.COM:443/u'
+      || CAST(user_id AS VARCHAR) || '/?utm_campaign=c'
+      || CAST(event_id % 3 AS VARCHAR) || '&q='
+      || CAST(event_id % 5 AS VARCHAR) || '&fbclid=zz#top'
+  ELSE
+    'HTTP://D' || CAST(user_id % 7 AS VARCHAR) || '.Site.COM:80/p'
+      || CAST(user_id AS VARCHAR) || '/'
+  END AS u
+  FROM events
+),
+canon AS (
+  SELECT
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(s5, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+            || regexp_replace(s5, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+          '^(https://[^/:?#]*):443([/?]|$)', '\\1\\2'),
+        '^(http://[^/:?#]*):80([/?]|$)', '\\1\\2'),
+      '(://[^/?#]+/.+?)/(\\?|$)', '\\1\\2') AS canon
+  FROM (
+    SELECT regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(u, '#.*$', ''),
+                   '(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '', 'g'),
+                 '\\?&+', '?'),
+               '&&+', '&', 'g'),
+             '[?&]+$', '') AS s5
+    FROM dirty
+  )
+)
+SELECT canon, count(*) AS n_events FROM canon GROUP BY canon ORDER BY canon
+"""
+
+
+def q_corpus_freq_score(spark, sf_dir):
+    """Unigram corpus-frequency quality scoring (two-pass: vocab counts
+    → broadcast-join scoring); deterministic integer-sum formulation
+    (no log) so both engines agree bit-for-bit."""
+    from clinvar_ingest_spark.operators.curation import corpus_frequency_score
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_frequency_score(d).orderBy("doc_id")
+
+
+_SQL_FREQ_SCORE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+),
+vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+SELECT doc_id, round(avg(c), 4) AS freq_score, count(*) AS n_toks
+FROM tok JOIN vocab USING (t)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_snapshot_changes(spark, sf_dir):
     """Snapshot-diff changelog (reference temporal post-process analog,
     stored_procedures.py:30-36): replay the log in 2 batches through the
@@ -2867,6 +2995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
+        "eval_decontamination": q_eval_decontamination,
+        "canonical_urls": q_canonical_urls,
+        "corpus_freq_score": q_corpus_freq_score,
     }
 
 
@@ -2964,6 +3095,9 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "doc_chunks": _SQL_DOC_CHUNKS,
         "domain_stratified_sample": _SQL_STRATIFIED,
         "stream_change_feed": _SQL_STREAM_FEED,
+        "eval_decontamination": _SQL_DECONTAM,
+        "canonical_urls": _SQL_CANONICAL,
+        "corpus_freq_score": _SQL_FREQ_SCORE,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
         "min_cost_lineitems": _SQL_MIN_COST,

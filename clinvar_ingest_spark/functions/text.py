@@ -87,3 +87,40 @@ def fingerprint(text: Column) -> Column:
     """Stable content fingerprint: md5 of case/space-normalized text
     (rolling-hash analog that both engines compute identically)."""
     return F.md5(F.lower(F.trim(text)))
+
+
+# URL canonicalization rules, in application order. Deliberately
+# regex-only (no urllib in the hot path — stays inside codegen) and
+# deterministic; the DuckDB oracle applies the same regexes.
+TRACKING_PARAM_RE = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a web URL for key-level dedup:
+
+    1. lowercase scheme and host (path/query stay case-sensitive),
+    2. strip the fragment,
+    3. drop known tracking params (utm_*, gclid, fbclid, msclkid, ref),
+    4. collapse leftover ``?&``/``&&``/trailing ``?``/``&``,
+    5. drop default ports (:80 http, :443 https),
+    6. strip a trailing slash on non-root paths.
+
+    The same page crawled via campaign links, fragments, or mixed-case
+    hosts then shares one canonical key — at 10^10 pages this is THE
+    dedup lever before any content hashing."""
+    u = F.regexp_replace(url, r"#.*$", "")                      # 2
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")              # 3
+    u = F.regexp_replace(u, r"\?&+", "?")                       # 4
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # 1: lowercase scheme://host[:port] prefix only
+    pre = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(pre, rest)
+    # 5 — no lookahead (the oracle's RE2 lacks it): capture the
+    # boundary char (or end) and put it back
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?]|$)", "$1$2")
+    # 6 — non-root trailing slash, at end of url or end of path
+    u = F.regexp_replace(u, r"(://[^/?#]+/.+?)/\?", "$1?")
+    return F.regexp_replace(u, r"(://[^/?#]+/.+?)/$", "$1")

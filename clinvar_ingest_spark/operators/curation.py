@@ -103,6 +103,74 @@ def chunk_documents(
     )
 
 
+def flag_contaminated(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation/benchmark document (the standard
+    13-gram overlap rule used to scrub eval leakage from pretraining
+    corpora).
+
+    Plan shape at 10^10 train docs: both sides explode to distinct
+    n-gram md5 hashes; the EVAL side is tiny (benchmarks are), so its
+    distinct hash set broadcasts and the probe is a map-side semi join —
+    no shuffle of the train corpus at all. Returns one row per
+    contaminated train doc: (doc_id, n_shared_ngrams)."""
+    from clinvar_ingest_spark.functions.similarity import shingles
+
+    tr = train.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k=n)).alias("g"),
+    ).withColumn("h", F.md5(F.col("g"))).drop("g")
+    ev = F.broadcast(
+        eval_set.select(F.explode(shingles(F.col(text_col), k=n)).alias("g"))
+        .select(F.md5(F.col("g")).alias("h"))
+        .distinct()
+    )
+    return (
+        tr.join(ev, "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("h")).alias("n_shared_ngrams"))
+    )
+
+
+def corpus_frequency_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level unigram frequency scoring (the deterministic
+    stand-in for a KenLM-style LM quality filter, which would slot in
+    here as a vectorized pandas UDF over the same two-pass shape):
+    pass 1 counts token occurrences corpus-wide, pass 2 scores each
+    document by the average corpus frequency of its tokens — low scores
+    flag gibberish/rare-vocab pages, high scores boilerplate.
+
+    Plan: explode → count (map-side combinable) builds the vocab; the
+    vocab (≈10⁶ rows at web scale) BROADCASTS back onto the exploded
+    tokens, so pass 2 is shuffle-free until the final per-doc combine.
+    Integer sums + one division keep the score bit-identical across
+    engines (no log(), whose summation order would drift)."""
+    from clinvar_ingest_spark.functions.text import ws_tokens
+
+    tok = docs.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("c"), 4).alias("freq_score"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str = "lang",

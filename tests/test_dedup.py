@@ -126,3 +126,44 @@ def test_derive_curated_corpus_keeper_by_quality(spark):
     }
     want_keeper = 1 if q["https://docs.site/d1"] >= q["https://docs.site/d2"] else 2
     assert out[1][0] == want_keeper
+
+
+def test_flag_contaminated_13gram_overlap(spark):
+    from clinvar_ingest_spark.operators.curation import flag_contaminated
+
+    leak = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    train = spark.createDataFrame(
+        [
+            (100, f"prefix words {leak} suffix words here"),   # contaminated
+            (101, "totally unrelated content with no overlap at all in it"),
+            (102, leak + " " + leak),                          # twice, 1 distinct hit + shifted grams
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, f"the eval question contains {leak} verbatim")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_shared_ngrams"]
+           for r in flag_contaminated(train, ev, n=13).collect()}
+    assert 100 in got and 101 not in got and 102 in got
+    assert got[100] >= 1
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&q=1&fbclid=z#frag",
+         "https://www.example.com/Path?q=1"),
+        ("HTTP://a.b:80/", "http://a.b/"),
+        ("https://a.b/x/", "https://a.b/x"),
+        ("https://a.b/x?utm_a=1&utm_b=2", "https://a.b/x"),
+        ("https://a.b:8443/x", "https://a.b:8443/x"),   # non-default port kept
+        ("https://a.b/X?Q=UPPER", "https://a.b/X?Q=UPPER"),  # path/query case kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
