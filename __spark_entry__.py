@@ -2355,6 +2355,47 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy context-window packing: per-shard first-fit of documents
+    into ≤256-token bins via ONE codegen'd aggregate fold per shard —
+    the training-batch assembly step. Oracle replays the identical fold
+    as a recursive CTE."""
+    from clinvar_ingest_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=256, n_shards=8).orderBy(
+        "shard", "bin_id", "doc_id"
+    )
+
+
+_SQL_PACK = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_toks,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM t
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_toks, 0 AS bin_id, n_toks AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_toks,
+         CASE WHEN p.fill + o.n_toks > 256 THEN p.bin_id + 1
+              ELSE p.bin_id END,
+         CASE WHEN p.fill + o.n_toks > 256 THEN o.n_toks
+              ELSE p.fill + o.n_toks END
+  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT CAST(shard AS INTEGER) AS shard, bin_id, doc_id, n_toks
+FROM pack ORDER BY shard, bin_id, doc_id
+"""
+
+
 def q_snapshot_changes(spark, sf_dir):
     """Snapshot-diff changelog (reference temporal post-process analog,
     stored_procedures.py:30-36): replay the log in 2 batches through the
@@ -2998,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_decontamination": q_eval_decontamination,
         "canonical_urls": q_canonical_urls,
         "corpus_freq_score": q_corpus_freq_score,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -3098,6 +3140,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "eval_decontamination": _SQL_DECONTAM,
         "canonical_urls": _SQL_CANONICAL,
         "corpus_freq_score": _SQL_FREQ_SCORE,
+        "pack_sequences": _SQL_PACK,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
         "min_cost_lineitems": _SQL_MIN_COST,

@@ -171,6 +171,72 @@ def corpus_frequency_score(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to context-window bins
+    of ≤ ``budget`` whitespace tokens (first-fit in id order), the
+    standard packing step before training-batch assembly.
+
+    Exact greedy packing is inherently sequential, so — like every
+    production packer — it runs per SHARD (``id % n_shards``): each
+    shard's documents are folded in id order by one ``F.aggregate``
+    higher-order function (a codegen'd JVM fold, no Python, no window),
+    giving one shuffle (the shard groupBy) total. Shards are
+    embarrassingly parallel; at 10^10 docs you size n_shards to the
+    cluster and each bin stays shard-local. A document larger than the
+    budget gets a bin of its own (never split, never dropped).
+
+    Returns (shard, bin_id, doc_id, n_toks); bin_id is per-shard."""
+    from clinvar_ingest_spark.functions.text import ws_tokens
+
+    t = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.size(ws_tokens(F.col(text_col))).alias("n_toks"),
+    )
+    items = F.array_sort(F.collect_list(F.struct(id_col, "n_toks")))
+
+    def _step(acc, x):
+        over = (acc.fill > 0) & (acc.fill + x.n_toks > budget)
+        new_bin = F.when(over, acc.bin + 1).otherwise(acc.bin)
+        new_fill = F.when(over, x.n_toks).otherwise(acc.fill + x.n_toks)
+        return F.struct(
+            F.concat(acc.bins, F.array(new_bin)).alias("bins"),
+            new_fill.alias("fill"),
+            new_bin.alias("bin"),
+        )
+
+    acc0 = F.struct(
+        F.array().cast("array<int>").alias("bins"),
+        F.lit(0).alias("fill"),
+        F.lit(0).alias("bin"),
+    )
+    packed = (
+        t.groupBy("shard")
+        .agg(items.alias("items"))
+        .select(
+            "shard",
+            "items",
+            F.aggregate(F.col("items"), acc0, _step).getField("bins").alias("bins"),
+        )
+        .select(
+            "shard",
+            F.posexplode(F.arrays_zip("items", "bins")).alias("pos", "z"),
+        )
+    )
+    return packed.select(
+        "shard",
+        F.col("z.bins").alias("bin_id"),
+        F.col(f"z.items.{id_col}").alias(id_col),
+        F.col("z.items.n_toks").alias("n_toks"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str = "lang",

@@ -167,3 +167,29 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """First-fit greedy: bins fill to the budget, never split a doc,
+    oversized docs get their own bin, id order within shard."""
+    from clinvar_ingest_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a " * 100),   # 100 toks  -> shard 0, bin 0
+            (8, "b " * 120),   # 120 toks  -> bin 0 (220 <= 256)
+            (16, "c " * 50),   # 50 toks   -> bin 1 (220+50 > 256)
+            (24, "d " * 300),  # oversized -> bin 2, alone
+            (32, "e " * 10),   # 10 toks   -> bin 3 (300+10 > 256)
+            (1, "x " * 5),     # shard 1, bin 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["n_toks"])
+        for r in pack_sequences(docs, budget=256, n_shards=8).collect()
+    }
+    assert got == {
+        0: (0, 0, 100), 8: (0, 0, 120), 16: (0, 1, 50),
+        24: (0, 2, 300), 32: (0, 3, 10), 1: (1, 0, 5),
+    }
