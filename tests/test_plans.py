@@ -110,3 +110,35 @@ def test_chunking_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_eval_set(spark):
+    """The eval n-gram set must broadcast: probing 10^10 train docs
+    against a benchmark must not shuffle the train corpus."""
+    from clinvar_ingest_spark.operators.curation import flag_contaminated
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = flag_contaminated(d.filter("doc_id >= 20"), d.filter("doc_id < 20"))
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Greedy packing = ONE keyed shuffle (the shard groupBy); the fold
+    itself is a codegen'd higher-order aggregate, no Python, no window."""
+    from clinvar_ingest_spark.operators.curation import pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = executed_plan(pack_sequences(d))
+    assert plan.count("Exchange") <= 2  # shard hash + AQE read side
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_freq_score_broadcasts_vocab(spark):
+    from clinvar_ingest_spark.operators.curation import corpus_frequency_score
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = executed_plan(corpus_frequency_score(d))
+    assert "BroadcastHashJoin" in plan
