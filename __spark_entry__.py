@@ -2315,7 +2315,7 @@ canon AS (
             || regexp_replace(s5, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
           '^(https://[^/:?#]*):443([/?]|$)', '\\1\\2'),
         '^(http://[^/:?#]*):80([/?]|$)', '\\1\\2'),
-      '(://[^/?#]+/.+?)/(\\?|$)', '\\1\\2') AS canon
+      '(://[^/?#]+/.+?)/+(\\?|$)', '\\1\\2') AS canon
   FROM (
     SELECT regexp_replace(
              regexp_replace(

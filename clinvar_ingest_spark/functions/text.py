@@ -121,6 +121,7 @@ def canonical_url(url: Column) -> Column:
     # boundary char (or end) and put it back
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443([/?]|$)", "$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80([/?]|$)", "$1$2")
-    # 6 — non-root trailing slash, at end of url or end of path
-    u = F.regexp_replace(u, r"(://[^/?#]+/.+?)/\?", "$1?")
-    return F.regexp_replace(u, r"(://[^/?#]+/.+?)/$", "$1")
+    # 6 — non-root trailing slash RUN, at end of url or end of path
+    # (the whole run, so the rule is idempotent on degenerate '//' tails)
+    u = F.regexp_replace(u, r"(://[^/?#]+/.+?)/+\?", "$1?")
+    return F.regexp_replace(u, r"(://[^/?#]+/.+?)/+$", "$1")

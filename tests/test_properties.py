@@ -111,3 +111,65 @@ def test_engine_equals_simulation(
     tmpdir = str(tmp_path_factory.mktemp("prop"))
     got = run_engine(spark, tmpdir, events, splits, strategy, merge_mode)
     assert got == simulate(events)
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    """Fuzzed token counts vs a driver-side greedy first-fit reference:
+    identical (shard, bin, doc) assignment, every bin within budget
+    unless it holds a single oversized doc, no doc lost."""
+    import random
+
+    from clinvar_ingest_spark.operators.curation import pack_sequences
+
+    random.seed(11)
+    docs = [(i, "w " * random.choice([1, 5, 40, 90, 200, 300]))
+            for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["shard"], r["doc_id"]): (r["bin_id"], r["n_toks"])
+        for r in pack_sequences(df, budget=256, n_shards=8).collect()
+    }
+
+    # driver-side reference
+    want = {}
+    fills = {}
+    for i, text in docs:
+        shard = i % 8
+        n = len(text.split())
+        b, fill = fills.get(shard, (0, 0))
+        if fill > 0 and fill + n > 256:
+            b, fill = b + 1, n
+        else:
+            fill += n
+        fills[shard] = (b, fill)
+        want[(shard, i)] = (b, n)
+    assert got == want
+    # bin-budget invariant
+    bins = {}
+    for (shard, i), (b, n) in got.items():
+        bins.setdefault((shard, b), []).append(n)
+    for members in bins.values():
+        assert sum(members) <= 256 or len(members) == 1
+
+
+def test_canonical_url_idempotent_and_stable(spark):
+    """canon(canon(u)) == canon(u) over fuzzed url soup (a canonical
+    form that isn't a fixpoint would re-dedup differently per pass)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.text import canonical_url
+
+    random.seed(23)
+    frags = ["HTTP://", "https://", "HTTPS://", "Example.COM", "a.b",
+             ":443", ":80", ":8080", "/Path", "/p/", "/", "?", "&",
+             "utm_source=1", "q=Q", "gclid=g", "ref=r", "#frag", "x=y"]
+    urls = ["".join(random.choice(frags) for _ in range(random.randint(1, 8)))
+            for _ in range(150)]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    out = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+    ).select("c1", canonical_url(F.col("c1")).alias("c2")).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], r
