@@ -2396,6 +2396,44 @@ FROM pack ORDER BY shard, bin_id, doc_id
 """
 
 
+def q_cdc_incremental_neardup(spark, sf_dir):
+    """The near-dup curation maintained INCREMENTALLY
+    (operators/incremental_dedup.py): the documents change log replays
+    in 2 batches, and the NearDupIndex refreshes after EACH — batch 1
+    bootstraps, batch 2 takes the delta path (manifest-diff buckets →
+    band-partition replace → probe → affected-closure recompute). The
+    oracle is the SAME full-recompute SQL as cdc_curated_corpus:
+    incremental == full is the contract, enforced by the driver hash."""
+    import tempfile
+
+    from clinvar_ingest_spark.operators.incremental_dedup import NearDupIndex
+    from clinvar_ingest_spark.sources import ChangeLogSource
+    from clinvar_ingest_spark.streaming import IngestPipeline
+    from clinvar_ingest_spark.tables import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    log = _documents_as_change_log(spark, sf_dir)
+    src = ChangeLogSource(log)
+    end = src.max_seq()
+    path = tempfile.mkdtemp(prefix="cdc_incdedup_")
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
+    pipe = IngestPipeline(spark, src, tbl)
+    idx = NearDupIndex(tbl)
+    for rng in src.plan_batches(-1, end, end // 2 + 1):
+        pipe.run_batch(rng, log_end_seq=end)
+        idx.refresh()
+    return idx.curated().orderBy("cluster")
+
+
 def q_snapshot_changes(spark, sf_dir):
     """Snapshot-diff changelog (reference temporal post-process analog,
     stored_procedures.py:30-36): replay the log in 2 batches through the
@@ -2964,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compacted_state": q_cdc_compacted_state,
         "cdc_domain_stats": q_cdc_domain_stats,
         "cdc_curated_corpus": q_cdc_curated_corpus,
+        "cdc_incremental_neardup": q_cdc_incremental_neardup,
         "snapshot_changes": q_snapshot_changes,
         "tree_disassemble": q_tree_disassemble,
         "event_time_windows": q_event_time_windows,
@@ -3010,8 +3049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "corpus_curation_funnel": q_corpus_curation_funnel,
-        "dedup_keep_best": q_dedup_keep_best,
         # ============ driver correctness window ends here (50) =========
+        "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "running_total": q_running_total,
@@ -3134,6 +3173,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "fast_movers_suppliers": _SQL_Q20,
         "cdc_domain_stats": _SQL_CDC_DOMAIN_STATS,
         "cdc_curated_corpus": _SQL_CDC_CURATED,
+        "cdc_incremental_neardup": _SQL_CDC_CURATED,
         "doc_chunks": _SQL_DOC_CHUNKS,
         "domain_stratified_sample": _SQL_STRATIFIED,
         "stream_change_feed": _SQL_STREAM_FEED,

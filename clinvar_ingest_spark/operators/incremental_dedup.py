@@ -1,0 +1,244 @@
+"""Incremental near-dup curation: delta maintenance of the LSH index
+and duplicate clusters.
+
+``derive_curated_corpus`` recomputes shingles → MinHash → LSH bands →
+connected components over the WHOLE corpus every refresh — correct, but
+at 10^10 documents a per-batch full recompute is the scale killer: a
+batch touches a sliver of the corpus, yet the naive refresh pays the
+full O(corpus) shuffle chain again. :class:`NearDupIndex` maintains the
+same result incrementally:
+
+* **band index** — (doc_id, band_id, band_val), stored partitioned by
+  the document's storage bucket. Bands are a pure per-doc map, so the
+  index refresh replaces exactly the manifest-diff buckets' partitions
+  (the same change-index trick as ``IncrementalDerivation``). A
+  production deployment would additionally cluster the index files by
+  band_val (Iceberg sort order / bloom filters) so the probe below
+  prunes instead of scanning.
+* **probe** — changed docs' bands equi-join the full index: every NEW
+  candidate pair has a changed endpoint, so partners of changed docs
+  are the only docs whose cluster membership can grow.
+* **affected closure** — any cluster containing a changed doc, a
+  removed doc, or a probe partner is recomputed; every other cluster is
+  untouched. Closure argument: old pairs between two unchanged docs
+  are unchanged, and any pair that appears or disappears has a changed
+  endpoint, so connectivity can only change inside the affected set —
+  pairs + components are re-derived ONLY over affected members
+  (delta-sized), and the result equals a full recompute (asserted in
+  tests after updates, inserts, AND deletes — deletes can split a
+  cluster).
+* **clusters table** — one row (doc_id, cluster, q) per live doc,
+  partitioned by storage bucket; refresh rewrites only partitions
+  holding affected rows.
+
+Per-batch work is O(changed docs + their band partners + affected
+cluster members), independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.functions.text import quality_score
+from clinvar_ingest_spark.operators.components import connected_components
+from clinvar_ingest_spark.operators.curation import DOC_ID_RE
+from clinvar_ingest_spark.operators.similarity_dedup import (
+    doc_bands,
+    minhash_lsh_dedup,
+)
+
+BUCKET = "_src_bucket"
+
+
+class NearDupIndex:
+    def __init__(
+        self,
+        table,
+        threshold: float = 0.2,
+        band_prefix: int = 4,
+        path: str | None = None,
+        id_pattern: str = DOC_ID_RE,
+    ):
+        self.table = table
+        self.spark = table.spark
+        self.threshold = threshold
+        self.band_prefix = band_prefix
+        self.id_pattern = id_pattern
+        self.path = path or f"{table.path}__neardup"
+        self._bands = os.path.join(self.path, "bands")
+        self._clusters = os.path.join(self.path, "clusters")
+        self._marker = os.path.join(self.path, "_refreshed_at")
+
+    # ------------------------------------------------------------ io
+    def _docs(self, buckets: list[int] | None) -> DataFrame:
+        state = self.table.read(buckets=buckets)
+        return state.select(
+            F.regexp_extract("url", self.id_pattern, 1).cast("long").alias("doc_id"),
+            "text",
+            F.col("_bucket").alias(BUCKET),
+        )
+
+    def _read(self, d: str) -> DataFrame | None:
+        if not os.path.isdir(d):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _replace_partitions(self, d: str, rows: DataFrame, buckets) -> None:
+        if buckets is None:
+            rows.write.partitionBy(BUCKET).mode("overwrite").parquet(d)
+            return
+        for b in buckets:
+            shutil.rmtree(os.path.join(d, f"{BUCKET}={b}"), ignore_errors=True)
+        rows.write.partitionBy(BUCKET).mode("append").parquet(d)
+
+    # ------------------------------------------------------- refresh
+    def refresh(self) -> int:
+        """Bring the index and clusters up to the table's current
+        snapshot; returns the number of storage buckets touched."""
+        cur = self.table.snapshot_id()
+        last = None
+        if os.path.exists(self._marker):
+            with open(self._marker) as f:
+                last = int(f.read().strip())
+        if last == cur:
+            return 0
+        if last is None:
+            buckets = None  # bootstrap: everything
+        else:
+            ma = self.table.manifest_at(last)
+            mb = self.table.current_manifest()
+            buckets = sorted(
+                int(bk)
+                for bk in set(ma["buckets"]) | set(mb["buckets"])
+                if ma["buckets"].get(bk) != mb["buckets"].get(bk)
+            )
+            if not buckets:
+                self._write_marker(cur)
+                return 0
+
+        changed = self._docs(buckets).persist()
+        try:
+            new_bands = doc_bands(changed).join(
+                changed.select("doc_id", BUCKET), "doc_id"
+            )
+            self._replace_partitions(self._bands, new_bands, buckets)
+
+            if buckets is None:
+                rows = self._cluster_rows(changed)
+                self._replace_partitions(self._clusters, rows, None)
+                self._write_marker(cur)
+                return self.table.n_buckets
+
+            # probe: changed docs' bands vs the full (updated) index —
+            # partners are the only unchanged docs whose connectivity
+            # can change
+            idx = self._read(self._bands)
+            probe = doc_bands(changed).join(
+                idx.withColumnRenamed("doc_id", "partner"),
+                ["band_id", "band_val"],
+            )
+            partners = probe.select(
+                F.col("partner").alias("doc_id"), F.col(BUCKET)
+            ).distinct()
+
+            old = self._read(self._clusters)
+            touched = (
+                changed.select("doc_id")
+                .unionByName(partners.select("doc_id"))
+                .distinct()
+            )
+            affected_clusters = (
+                old.join(touched, "doc_id", "left_semi")
+                .select("cluster")
+                .union(
+                    # clusters holding any row of a changed bucket —
+                    # covers docs DELETED from those buckets
+                    old.filter(F.col(BUCKET).isin([int(b) for b in buckets]))
+                    .select("cluster")
+                )
+                .distinct()
+            )
+            members = old.join(affected_clusters, "cluster", "left_semi").select(
+                "doc_id", BUCKET
+            )
+            affected = (
+                members.unionByName(changed.select("doc_id", BUCKET))
+                .unionByName(partners)
+                .distinct()
+            )
+            # pull affected docs' current text, bucket-pruned: only the
+            # buckets that hold affected rows are read
+            aff_buckets = sorted(
+                r[BUCKET]
+                for r in affected.select(BUCKET).distinct().collect()
+            )
+            aff_docs = (
+                self._docs(aff_buckets)
+                .join(affected.select("doc_id").distinct(), "doc_id", "left_semi")
+                .persist()
+            )
+            rows = self._cluster_rows(aff_docs)
+
+            # rewrite exactly the partitions that hold affected rows:
+            # surviving old rows of those buckets + the recomputed rows
+            keep = (
+                old.filter(F.col(BUCKET).isin([int(b) for b in aff_buckets]))
+                .join(affected_clusters, "cluster", "left_anti")
+            )
+            out = keep.select("doc_id", "cluster", "q", BUCKET).unionByName(
+                rows.select("doc_id", "cluster", "q", BUCKET)
+            )
+            # materialize BEFORE the partition swap: the plan reads the
+            # same files the swap deletes
+            out = out.localCheckpoint(eager=True)
+            self._replace_partitions(self._clusters, out, aff_buckets)
+            aff_docs.unpersist()
+            self._write_marker(cur)
+            return len(aff_buckets)
+        finally:
+            changed.unpersist()
+
+    def _cluster_rows(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, cluster, q, bucket) for the given doc set — pairs and
+        components computed ONLY within the set (valid because bands are
+        per-doc: subset LSH == global LSH restricted to the subset)."""
+        pairs = minhash_lsh_dedup(
+            docs, threshold=self.threshold, band_prefix=self.band_prefix
+        )
+        comp = connected_components(pairs)
+        return (
+            docs.withColumn("q", quality_score(F.col("text")))
+            .join(comp, docs.doc_id == comp.node, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+                "q",
+                BUCKET,
+            )
+        )
+
+    def _write_marker(self, sid: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._marker, "w") as f:
+            f.write(str(sid))
+
+    # ------------------------------------------------------- serving
+    def curated(self) -> DataFrame:
+        """Same output contract as ``derive_curated_corpus``:
+        (cluster, keeper, n_members, best_q), keeper = best quality."""
+        rows = self._read(self._clusters)
+        return (
+            rows.groupBy("cluster")
+            .agg(
+                F.max_by(
+                    F.col("doc_id"),
+                    F.struct(F.col("q"), (-F.col("doc_id")).alias("nd")),
+                ).alias("keeper"),
+                F.count(F.lit(1)).alias("n_members"),
+                F.round(F.max("q"), 4).alias("best_q"),
+            )
+        )

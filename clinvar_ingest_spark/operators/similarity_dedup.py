@@ -27,6 +27,26 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(id_col, shingles(F.col(text_col)).alias("sh"))
 
 
+def doc_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_prefix: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_val) LSH band table — a pure per-doc map
+    (shingle → minhash → banded prefix), so it can be maintained
+    incrementally per storage bucket: a doc's bands never depend on any
+    other doc."""
+    sh = doc_shingles(docs, id_col, text_col)
+    sig = sh.select(id_col, *minhash_signature(F.col("sh")))
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.substring(F.col(f"mh{i}"), 1, band_prefix) for i in range(N_MINHASH)])
+        ).alias("band_id", "band_val"),
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -49,14 +69,7 @@ def minhash_lsh_candidates(
     MinHash dedup. The cap itself is one map-side-combinable count +
     a semi join, both hash-partitioned.
     """
-    sh = doc_shingles(docs, id_col, text_col)
-    sig = sh.select(id_col, *minhash_signature(F.col("sh")))
-    bands = sig.select(
-        id_col,
-        F.posexplode(
-            F.array(*[F.substring(F.col(f"mh{i}"), 1, band_prefix) for i in range(N_MINHASH)])
-        ).alias("band_id", "band_val"),
-    )
+    bands = doc_bands(docs, id_col, text_col, band_prefix)
     if max_bucket is not None:
         ok = (
             bands.groupBy("band_id", "band_val")
