@@ -747,6 +747,84 @@ WHERE rank <= {k} ORDER BY query_id, rank
 
 _SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
 
+def q_ann_ivf_two_level(spark, sf_dir):
+    """Two-level IVF ANN (the >10³-cell scale path): coarse assign via
+    a 4-centroid literal argmax, fine assign via a NESTED literal
+    indexed by coarse id — n_coarse + n_fine cosines per row instead of
+    n_coarse·n_fine, zero Exchanges before assignment."""
+    from clinvar_ingest_spark.operators.ann import ivf2_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf2_cosine_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, n_coarse=4, n_fine=4, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+_SQL_ANN_IVF2 = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+cs AS (SELECT vec_id % 4 AS coarse_id, pos, round(avg(val), 6) AS c
+       FROM ex GROUP BY 1, 2),
+coarse AS (SELECT coarse_id, list(c ORDER BY pos) AS centroid
+           FROM cs GROUP BY 1),
+a1 AS (
+  SELECT vec_id, embedding, coarse_id FROM (
+    SELECT e.vec_id, e.embedding, c.coarse_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid)
+                      DESC, c.coarse_id ASC) AS rn
+    FROM embeddings e CROSS JOIN coarse c) WHERE rn = 1
+),
+fex AS (
+  SELECT coarse_id, vec_id % 4 AS fine_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM a1
+),
+fs AS (SELECT coarse_id, fine_id, pos, round(avg(val), 6) AS c
+       FROM fex GROUP BY 1, 2, 3),
+fine AS (SELECT coarse_id, fine_id, coarse_id * 4 + fine_id AS cell_id,
+                list(c ORDER BY pos) AS centroid
+         FROM fs GROUP BY 1, 2),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT a.vec_id, a.embedding, f.cell_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], f.centroid)
+                      DESC, f.fine_id ASC) AS rn
+    FROM a1 a JOIN fine f ON f.coarse_id = a.coarse_id) WHERE rn = 1
+),
+qa AS (SELECT vec_id AS query_id, embedding AS qv, coarse_id
+       FROM a1 WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, f.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv::DOUBLE[], f.centroid)
+                      DESC, f.cell_id ASC) AS rn
+    FROM qa q JOIN fine f ON f.coarse_id = q.coarse_id) WHERE rn <= 2
+),
+pairs AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv::DOUBLE[], a.embedding::DOUBLE[]), 4)
+           AS cos_sim
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     """Int8-quantized brute-force ANN: embeddings compress 4× (per-vector
     scale + int8 codes) and cosine — scale-invariant — runs directly on
@@ -3072,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_quantized_topk": q_ann_quantized_topk,
+        "ann_ivf_two_level": q_ann_ivf_two_level,
         "multimodal_features": q_multimodal_features,
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
@@ -3180,6 +3259,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "eval_decontamination": _SQL_DECONTAM,
         "canonical_urls": _SQL_CANONICAL,
         "corpus_freq_score": _SQL_FREQ_SCORE,
+        "ann_ivf_two_level": _SQL_ANN_IVF2,
         "pack_sequences": _SQL_PACK,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,

@@ -252,6 +252,147 @@ def ivf_cosine_topk(
     return _ranked(pairs, k)
 
 
+def two_level_assign(
+    corpus: DataFrame,
+    n_coarse: int = 4,
+    n_fine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Two-level IVF quantizer — the scale path past ~10³ cells, where
+    a flat centroid literal would bloat the plan and cost n_cells
+    cosines per row. Level 1: ``n_coarse`` centroids (modulo-seeded
+    sample means) assigned by the shuffle-free literal argmax. Level 2:
+    per coarse cell, ``n_fine`` centroids (means of the cell's
+    ``id % n_fine`` subgroups); the fine table rides the plan as a
+    NESTED literal indexed by coarse id, so each row computes
+    n_coarse + n_fine cosines instead of n_coarse·n_fine — still zero
+    Exchanges between the scan and the assignment.
+
+    Returns (fine_table, assigned) where assigned carries
+    (id, vec, coarse_id, cell_id) and fine_table rows are
+    (coarse_id, fine_id, cell_id, centroid); cell_id =
+    coarse_id · n_fine + fine_id.
+    """
+    coarse = kmeans_centroids(corpus, n_coarse, id_col, vec_col, n_steps=0)
+    a1 = _assign_to_cents(corpus, coarse, id_col, vec_col).withColumnRenamed(
+        "cell_id", "coarse_id"
+    )
+    # fine centroids: 6dp-rounded means per (coarse, id % n_fine)
+    rows = (
+        a1.select(
+            "coarse_id",
+            (F.col(id_col) % n_fine).cast("int").alias("fine_seed"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        .groupBy("coarse_id", "fine_seed", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+        .collect()
+    )
+    fine: dict[tuple[int, int], dict[int, float]] = {}
+    for r in rows:
+        fine.setdefault((int(r["coarse_id"]), int(r["fine_seed"])), {})[
+            int(r["pos"])
+        ] = float(r["c"])
+    fine_list = sorted(
+        ((c, f), [byp[p] for p in sorted(byp)]) for (c, f), byp in fine.items()
+    )
+    # nested literal: index 1..n_coarse → array of that cell's fine centroids
+    by_coarse: dict[int, list[tuple[int, list[float]]]] = {}
+    for (c, f), v in fine_list:
+        by_coarse.setdefault(c, []).append((f, v))
+    coarse_ids = sorted(by_coarse)
+    nested = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in v])
+                    for _f, v in sorted(by_coarse[c])
+                ]
+            )
+            for c in coarse_ids
+        ]
+    )
+    fine_ids_lit = F.array(
+        *[
+            F.array(*[F.lit(int(f)) for f, _v in sorted(by_coarse[c])])
+            for c in coarse_ids
+        ]
+    )
+    coarse_pos = {c: i + 1 for i, c in enumerate(coarse_ids)}
+    pos_map = F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c in coarse_ids]),
+        F.array(*[F.lit(int(coarse_pos[c])) for c in coarse_ids]),
+    )
+    cands = F.element_at(nested, F.element_at(pos_map, F.col("coarse_id")))
+    sims = F.transform(cands, lambda cv: cosine(F.col(vec_col), cv))
+    best = F.array_position(sims, F.array_max(sims)).cast("int")
+    fine_id = F.element_at(
+        F.element_at(fine_ids_lit, F.element_at(pos_map, F.col("coarse_id"))), best
+    )
+    assigned = a1.withColumn("fine_id", fine_id).withColumn(
+        "cell_id", F.col("coarse_id") * n_fine + F.col("fine_id")
+    )
+    fine_table = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(c, f, c * n_fine + f, v) for (c, f), v in fine_list],
+            "coarse_id int, fine_id int, cell_id int, centroid array<double>",
+        )
+    )
+    return fine_table, assigned
+
+
+def ivf2_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_coarse: int = 4,
+    n_fine: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level IVF ANN: a query picks its nearest COARSE cell, then
+    probes its ``n_probe`` nearest FINE cells within it — candidate set
+    ≈ corpus · n_probe / (n_coarse·n_fine) with only
+    n_coarse + n_fine centroid distances per query."""
+    fine_table, assigned = two_level_assign(
+        corpus, n_coarse, n_fine, id_col, vec_col
+    )
+    coarse = kmeans_centroids(corpus, n_coarse, id_col, vec_col, n_steps=0)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q1 = _assign_to_cents(
+        q.withColumnRenamed("query_id", id_col).withColumnRenamed("qv", vec_col),
+        coarse, id_col, vec_col,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("cell_id").alias("coarse_id"),
+    )
+    q_cells = q1.join(fine_table, "coarse_id").select(
+        "query_id", "qv", "cell_id",
+        cosine(F.col("qv"), F.col("centroid")).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell_id"))
+    probes = (
+        q_cells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cands = probes.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
+        ),
+        "cell_id",
+    )
+    pairs = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+    ).distinct()
+    return _ranked(pairs, k)
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -142,3 +142,17 @@ def test_corpus_freq_score_broadcasts_vocab(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = executed_plan(corpus_frequency_score(d))
     assert "BroadcastHashJoin" in plan
+
+
+def test_two_level_ivf_assignment_shuffle_free(spark):
+    """Both quantizer levels must assign without an Exchange: coarse via
+    the flat literal, fine via the nested literal indexed by coarse id."""
+    from clinvar_ingest_spark.operators.ann import two_level_assign
+
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+        "vec_id", "embedding"
+    )
+    _, assigned = two_level_assign(corpus, n_coarse=4, n_fine=4)
+    plan = executed_plan(assigned)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
