@@ -2254,6 +2254,59 @@ ORDER BY url, warc_ts, seq
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source format: serialize events as multi-record WARC
+    segments (one segment per user, records CRLF-framed), then parse
+    them back with the codegen splitter — the oracle emits the expected
+    record fields directly, so any framing/header/payload mangling in
+    either direction breaks the hash."""
+    from clinvar_ingest_spark.sources.warc import (
+        make_warc_record,
+        parse_warc_segments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    uri = F.concat(
+        F.lit("https://d"), (F.col("user_id") % 7).cast("string"),
+        F.lit(".site/u"), F.col("user_id").cast("string"),
+        F.lit("/"), F.col("event_id").cast("string"),
+    )
+    date = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.concat(
+        F.lit("<p>k"), F.col("event_id").cast("string"),
+        F.lit(" of user "), F.col("user_id").cast("string"), F.lit("</p>"),
+    )
+    recs = ev.select(
+        "user_id", "event_id",
+        make_warc_record(uri, date, payload).alias("rec"),
+    )
+    segs = (
+        recs.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_id", "rec"))),
+                    lambda x: x["rec"],
+                ),
+                "",
+            ).alias("segment")
+        )
+    )
+    return parse_warc_segments(segs).orderBy("warc_uri")
+
+
+_SQL_WARC = """
+SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+         || CAST(user_id AS VARCHAR) || '/' || CAST(event_id AS VARCHAR)
+         AS warc_uri,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       'response' AS warc_type,
+       '<p>k' || CAST(event_id AS VARCHAR) || ' of user '
+         || CAST(user_id AS VARCHAR) || '</p>' AS payload
+FROM events ORDER BY 1
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Context-window chunking: fixed 25-token windows per document,
     shuffle-free (split/sequence/explode/slice, all codegen)."""
@@ -3151,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_ivf_two_level": q_ann_ivf_two_level,
+        "warc_roundtrip": q_warc_roundtrip,
         "multimodal_features": q_multimodal_features,
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
@@ -3260,6 +3314,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "canonical_urls": _SQL_CANONICAL,
         "corpus_freq_score": _SQL_FREQ_SCORE,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
+        "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "tree_disassemble": _SQL_TREE,
