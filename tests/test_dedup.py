@@ -193,3 +193,22 @@ def test_pack_sequences_greedy_semantics(spark):
         0: (0, 0, 100), 8: (0, 0, 120), 16: (0, 1, 50),
         24: (0, 2, 300), 32: (0, 3, 10), 1: (1, 0, 5),
     }
+
+
+def test_chunk_documents_partition_invariants(spark):
+    """Chunking must PARTITION the token stream: every token appears in
+    exactly one chunk, in order, all chunks full except the last."""
+    from clinvar_ingest_spark.operators.curation import chunk_documents
+
+    texts = ["w%d" % i for i in range(57)]
+    df = spark.createDataFrame([(1, " ".join(texts)), (2, "solo")],
+                               "doc_id long, text string")
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=25).collect()
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert [r[2] for r in d1] == [25, 25, 7]
+    assert " ".join(r[3] for r in d1) == " ".join(texts)  # exact partition
+    assert rows[-1] == (2, 0, 1, "solo")

@@ -64,3 +64,42 @@ def test_explicit_schema_skips_inference_jobs(spark, tmp_path):
     schema = T.StructType([T.StructField("id", T.LongType())])
     rows = [r["id"] for r in read_ndjson(spark, str(p), schema).collect()]
     assert rows[0] == 1 and rows[1] is None
+
+
+def test_warc_parse_edge_records(spark):
+    """warcinfo records (no Target-URI) surface with NULL uri; payload
+    framing survives headers in any order and multi-record segments."""
+    from clinvar_ingest_spark.sources.warc import (
+        make_warc_record,
+        parse_warc_segments,
+    )
+    from pyspark.sql import functions as F
+
+    seg = (
+        "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        "WARC/1.0\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "WARC-Type: response\r\nWARC-Target-URI: https://a.b/x\r\n"
+        "Content-Length: 11\r\n\r\n<p>hi</p>ok\r\n\r\n"
+    )
+    df = spark.createDataFrame([(seg,)], "segment string")
+    got = sorted(
+        (r["warc_type"], r["warc_uri"], r["payload"])
+        for r in parse_warc_segments(df).collect()
+    )
+    assert got == [
+        ("response", "https://a.b/x", "<p>hi</p>ok"),
+        ("warcinfo", None, "info"),
+    ]
+
+    # serializer → parser round-trip is the identity
+    src = spark.createDataFrame(
+        [("https://x/1", "2024-02-02T02:02:02Z", "payload <b>one</b>")],
+        "u string, d string, p string",
+    )
+    seg2 = src.select(
+        make_warc_record(F.col("u"), F.col("d"), F.col("p")).alias("segment")
+    )
+    r = parse_warc_segments(seg2).collect()[0]
+    assert (r["warc_uri"], r["warc_date"], r["payload"]) == (
+        "https://x/1", "2024-02-02T02:02:02Z", "payload <b>one</b>"
+    )
