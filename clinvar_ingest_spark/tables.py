@@ -481,7 +481,8 @@ class SnapshotTable:
         return self
 
     def _write_buckets(
-        self, df: DataFrame, snapshot_hint: int, arrow_transform=None
+        self, df: DataFrame, snapshot_hint: int, arrow_transform=None,
+        sort_by: list[str] | None = None,
     ) -> dict[int, list[str]]:
         """Write df (already carrying BUCKET_COL) as one file per bucket.
 
@@ -504,7 +505,11 @@ class SnapshotTable:
             self.path, _DATA, f"s{snapshot_hint:08d}-{uuid.uuid4().hex[:8]}"
         )
         if self.write_salts <= 1:
-            return self._write_buckets_direct(df, out_dir, arrow_transform)
+            return self._write_buckets_direct(
+                df, out_dir, arrow_transform, sort_by
+            )
+        if sort_by:
+            raise ValueError("sort_by requires the direct writer (write_salts=1)")
         if arrow_transform is not None:
             raise ValueError(
                 "arrow_transform requires the direct writer (write_salts=1)"
@@ -536,7 +541,8 @@ class SnapshotTable:
         return {b: sorted(fs) for b, fs in buckets.items()}
 
     def _write_buckets_direct(
-        self, df: DataFrame, out_dir: str, arrow_transform=None
+        self, df: DataFrame, out_dir: str, arrow_transform=None,
+        sort_by: list[str] | None = None,
     ) -> dict[int, list[str]]:
         """Direct per-bucket parquet write inside ``mapInArrow``: each
         task opens one ParquetWriter per bucket it holds (the explicit
@@ -584,9 +590,18 @@ class SnapshotTable:
                 schema=out_schema,
             )
 
+        part = df.repartition(F.col(BUCKET_COL))
+        if sort_by:
+            # within-bucket sort order (Iceberg sort-order analog): the
+            # writer streams batches in task order, so sorting the task
+            # by (bucket, *sort_by) yields files whose row groups carry
+            # tight min/max zone maps on the sort columns — parquet
+            # row-group pruning then works for point/range predicates
+            # on those columns, on top of the bucket-level manifest
+            # pruning.
+            part = part.sortWithinPartitions(BUCKET_COL, *sort_by)
         rows = (
-            df.repartition(F.col(BUCKET_COL))
-            .mapInArrow(_write, "bucket int, path string")
+            part.mapInArrow(_write, "bucket int, path string")
             .collect()
         )
         buckets: dict[int, list[str]] = {}
@@ -1016,11 +1031,23 @@ class SnapshotTable:
                 last = e
         raise last
 
-    def compact(self, max_files_per_bucket: int = 1) -> CommitResult | None:
+    def compact(
+        self,
+        max_files_per_bucket: int = 1,
+        sort_by: list[str] | None = None,
+    ) -> CommitResult | None:
         """Merge small files: rewrite every bucket holding more than
         ``max_files_per_bucket`` files into one file each (Iceberg
         rewrite_data_files analog). Buckets already compact keep their
-        existing files untouched — a metadata-only no-op for them."""
+        existing files untouched — a metadata-only no-op for them.
+
+        ``sort_by``: within-bucket sort order for the rewritten files
+        (Iceberg sort-order analog). Sorted files carry tight per-row-
+        group min/max stats on the sort columns, so parquet row-group
+        pruning serves point/range reads on them — the layout lever
+        between bucket-level manifest pruning (coarse) and a full scan.
+        ``sort_by=["url"]`` makes per-key lookups skip all but one row
+        group per touched file at 10^10 rows."""
         m = self.current_manifest()
         if m is None:
             raise ValueError(f"table {self.path} does not exist")
@@ -1035,7 +1062,9 @@ class SnapshotTable:
         # compaction writes unsalted: one file per bucket is the goal
         salts, self.write_salts = self.write_salts, 1
         try:
-            new_files = self._write_buckets(df, m["snapshot_id"] + 1)
+            new_files = self._write_buckets(
+                df, m["snapshot_id"] + 1, sort_by=sort_by
+            )
         finally:
             self.write_salts = salts
         buckets = {int(b): f for b, f in m["buckets"].items()}

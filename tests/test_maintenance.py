@@ -198,3 +198,45 @@ def test_merge_upsert_retrying_converges_after_conflict(spark, tmp_path):
     finally:
         SnapshotTable._commit = orig
     assert {r["url"] for r in t.read().collect()} == {"u1", "u2", "u3"}
+
+
+def test_compact_sort_by_orders_files_and_prunes(spark, tmp_path):
+    """compact(sort_by=['url']) must leave each rewritten file sorted by
+    url with tight per-row-group min/max url stats — the Iceberg
+    sort-order analog that makes parquet row-group pruning serve point
+    lookups."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(schema)
+    import datetime as dt
+    TS = dt.datetime(2024, 1, 1)
+    # 3 batches → multiple files per bucket, urls deliberately unsorted
+    for b in range(3):
+        rows = [(f"https://s/{(97 * i + b) % 300:05d}", TS, b * 1000 + i,
+                 "x", "insert") for i in range(100)]
+        t.merge_upsert(spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, seq long, text string, op string"
+        ), merge_mode="mor")
+    before = t.read().count()
+    res = t.compact(sort_by=["url"])
+    assert res is not None
+    assert t.read().count() == before
+
+    m = t.current_manifest()
+    checked = 0
+    for files in m["buckets"].values():
+        assert len(files) == 1
+        pf = pq.ParquetFile(files[0])
+        urls = pf.read(columns=["url"])["url"].to_pylist()
+        assert urls == sorted(urls)  # file fully sorted
+        checked += 1
+    assert checked == 4
