@@ -219,6 +219,8 @@ class IngestPipeline:
                 f"non-contiguous batch: hwm={hwm}, requested lo={rng.lo}"
             )
 
+        from clinvar_ingest_spark.metrics import stage
+
         t0 = time.monotonic()
         batch_id = self.last_batch_id() + 1
         raw = self.source.batch(rng)
@@ -234,22 +236,23 @@ class IngestPipeline:
         from clinvar_ingest_spark.tables import bucket_expr
 
         part_col, seq_col = self.source.part_col, self.source.seq_col
-        prof = (
-            raw.groupBy(
-                F.col(part_col),
-                bucket_expr(self.target.key_col, self.target.n_buckets).alias(
-                    "_b"
-                ),
+        with stage("batch.profile"):
+            prof = (
+                raw.groupBy(
+                    F.col(part_col),
+                    bucket_expr(self.target.key_col, self.target.n_buckets).alias(
+                        "_b"
+                    ),
+                )
+                .agg(
+                    F.min(seq_col).alias("lo"),
+                    F.max(seq_col).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("op") != F.lit("delete")).cast("long")).alias("u"),
+                    F.sum((F.col("op") == F.lit("delete")).cast("long")).alias("d"),
+                )
+                .collect()
             )
-            .agg(
-                F.min(seq_col).alias("lo"),
-                F.max(seq_col).alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("op") != F.lit("delete")).cast("long")).alias("u"),
-                F.sum((F.col("op") == F.lit("delete")).cast("long")).alias("d"),
-            )
-            .collect()
-        )
         by_part: dict[int, dict] = {}
         touched: set[int] = set()
         n_up = n_del = 0
@@ -290,16 +293,17 @@ class IngestPipeline:
             transform_kw = {"arrow_transform": coalesce_extract_arrow()}
         else:
             transform_kw = {"post_merge_transform": self.transform}
-        res = self.target.merge_upsert(
-            raw.drop(self.source.part_col),
-            order_cols=("warc_ts", "seq"),
-            op_col="op",
-            properties=props,
-            dedup_strategy=self.dedup_strategy,
-            batch_stats=batch_stats,
-            merge_mode=self.merge_mode,
-            **transform_kw,
-        )
+        with stage("batch.merge"):
+            res = self.target.merge_upsert(
+                raw.drop(self.source.part_col),
+                order_cols=("warc_ts", "seq"),
+                op_col="op",
+                properties=props,
+                dedup_strategy=self.dedup_strategy,
+                batch_stats=batch_stats,
+                merge_mode=self.merge_mode,
+                **transform_kw,
+            )
         wall = time.monotonic() - t0
         n_events = sum(pr["n_rows"] for pr in part_ranges)
 
@@ -307,41 +311,42 @@ class IngestPipeline:
         # writes are idempotent per batch_id (overwrite of batch=N dir),
         # so a crash between commit and sidecar write self-heals on the
         # next run_batch / ensure_sidecars call.
-        self._side_write(
-            "lineage",
-            batch_id,
-            [
-                {
-                    "batch_id": batch_id,
-                    "part": pr["part"],
-                    "seq_lo": pr["seq_lo"],
-                    "seq_hi": pr["seq_hi"],
-                    "snapshot_id": res.snapshot_id,
-                    "n_rows": pr["n_rows"],
-                }
-                for pr in part_ranges
-            ],
-            "batch_id long, part int, seq_lo long, seq_hi long, "
-            "snapshot_id long, n_rows long",
-        )
-        eps = n_events / wall if wall > 0 else 0.0
-        end = self.source.max_seq() if log_end_seq is None else log_end_seq
-        lag = end - rng.hi
-        self._side_write(
-            "metrics",
-            batch_id,
-            [
-                {
-                    "batch_id": batch_id,
-                    "n_events": n_events,
-                    "wall_sec": wall,
-                    "events_per_sec": eps,
-                    "lag_events": lag,
-                }
-            ],
-            "batch_id long, n_events long, wall_sec double, "
-            "events_per_sec double, lag_events long",
-        )
+        with stage("batch.sidecars"):
+            self._side_write(
+                "lineage",
+                batch_id,
+                [
+                    {
+                        "batch_id": batch_id,
+                        "part": pr["part"],
+                        "seq_lo": pr["seq_lo"],
+                        "seq_hi": pr["seq_hi"],
+                        "snapshot_id": res.snapshot_id,
+                        "n_rows": pr["n_rows"],
+                    }
+                    for pr in part_ranges
+                ],
+                "batch_id long, part int, seq_lo long, seq_hi long, "
+                "snapshot_id long, n_rows long",
+            )
+            eps = n_events / wall if wall > 0 else 0.0
+            end = self.source.max_seq() if log_end_seq is None else log_end_seq
+            lag = end - rng.hi
+            self._side_write(
+                "metrics",
+                batch_id,
+                [
+                    {
+                        "batch_id": batch_id,
+                        "n_events": n_events,
+                        "wall_sec": wall,
+                        "events_per_sec": eps,
+                        "lag_events": lag,
+                    }
+                ],
+                "batch_id long, n_events long, wall_sec double, "
+                "events_per_sec double, lag_events long",
+            )
         if self.derived:
             self.refresh_derived()
         return BatchReport(

@@ -58,6 +58,9 @@ class CommitConflictError(RuntimeError):
     over the new parent converges to the same state)."""
 
 
+from clinvar_ingest_spark.metrics import stage as _stage
+
+
 def bucket_expr(key_col: str, n_buckets: int):
     """Deterministic key→bucket assignment (Iceberg bucket-transform analog)."""
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
@@ -838,10 +841,12 @@ class SnapshotTable:
                    if f.name not in target_schema.names and f.name != DELETED_COL]
                 + [T.StructField(DELETED_COL, T.BooleanType())]
             )
-            new_files = self._write_buckets(
-                survivors.select(*data_cols, DELETED_COL), m["snapshot_id"] + 1,
-                arrow_transform=arrow_transform,
-            )
+            with _stage("merge.write"):
+                new_files = self._write_buckets(
+                    survivors.select(*data_cols, DELETED_COL),
+                    m["snapshot_id"] + 1,
+                    arrow_transform=arrow_transform,
+                )
             buckets = {int(b): list(f) for b, f in m["buckets"].items()}
             for b, files in new_files.items():
                 buckets.setdefault(b, [])
@@ -850,13 +855,17 @@ class SnapshotTable:
             props.update(
                 properties() if callable(properties) else (properties or {})
             )
-            n_after = _footer_rows([f for fs in buckets.values() for f in fs])
-            sid, mp = self._commit(
-                buckets, evolved, props, m["snapshot_id"],
-                {"n_rows_raw": n_after},
-                read_mode="lww", order_cols=list(order_cols),
-                parent_name=m["_name"],
-            )
+            with _stage("merge.footer_stats"):
+                n_after = _footer_rows(
+                    [f for fs in buckets.values() for f in fs]
+                )
+            with _stage("merge.commit"):
+                sid, mp = self._commit(
+                    buckets, evolved, props, m["snapshot_id"],
+                    {"n_rows_raw": n_after},
+                    read_mode="lww", order_cols=list(order_cols),
+                    parent_name=m["_name"],
+                )
             return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
         # Tombstones MUST take part in the merge: a late out-of-order
@@ -976,14 +985,15 @@ class SnapshotTable:
 
         # --- rewrite only touched buckets --------------------------------
         out_cols = data_cols + [DELETED_COL]
-        new_bucket_files = (
-            self._write_buckets(
-                survivors.select(*out_cols), m["snapshot_id"] + 1,
-                arrow_transform=arrow_transform,
+        with _stage("merge.write"):
+            new_bucket_files = (
+                self._write_buckets(
+                    survivors.select(*out_cols), m["snapshot_id"] + 1,
+                    arrow_transform=arrow_transform,
+                )
+                if touched
+                else {}
             )
-            if touched
-            else {}
-        )
         buckets = {int(b): f for b, f in m["buckets"].items()}
         for b in touched:
             buckets[b] = new_bucket_files.get(b, [])  # bucket may be emptied
@@ -991,27 +1001,29 @@ class SnapshotTable:
 
         # row stats from parquet footers (Iceberg file-stats analog —
         # no recompute of the merged plan)
-        n_after = _footer_rows(
-            [f for fs in buckets.values() for f in fs]
-        )
+        with _stage("merge.footer_stats"):
+            n_after = _footer_rows(
+                [f for fs in buckets.values() for f in fs]
+            )
 
         props = dict(m.get("properties", {}))
         # properties may be a callable (evaluated now, just before the
         # atomic commit — lets callers overlap side computations with
         # the merge while still committing their state atomically)
         props.update(properties() if callable(properties) else (properties or {}))
-        sid, mp = self._commit(
-            buckets,
-            evolved,
-            props,
-            m["snapshot_id"],
-            {"n_rows": n_after},
-            # sticky: a CoW batch on a MoR table resolves only the
-            # touched buckets, the rest may still be multi-version
-            read_mode=m.get("read_mode", "plain"),
-            order_cols=m.get("order_cols"),
-            parent_name=m["_name"],
-        )
+        with _stage("merge.commit"):
+            sid, mp = self._commit(
+                buckets,
+                evolved,
+                props,
+                m["snapshot_id"],
+                {"n_rows": n_after},
+                # sticky: a CoW batch on a MoR table resolves only the
+                # touched buckets, the rest may still be multi-version
+                read_mode=m.get("read_mode", "plain"),
+                order_cols=m.get("order_cols"),
+                parent_name=m["_name"],
+            )
         return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
     def merge_upsert_retrying(

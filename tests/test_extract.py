@@ -173,3 +173,36 @@ def test_utf8_fallback_is_per_row():
         assert fn(pd.Series([b])).tolist() == [w]
     # and in reversed batch order
     assert fn(pd.Series(list(reversed(raw)))).tolist() == list(reversed(want))
+
+
+def test_ws_collapse_fast_pattern_equals_naive_collapse():
+    """The run-{2,}|single-nonspace ws pattern must equal the naive
+    `[ws]+ -> " "` collapse byte-for-byte on BOTH engines (a lone ASCII
+    space maps to itself under the naive pass, so skipping it is an
+    identity-preserving optimization — the reason it's 3.6x faster)."""
+    import random
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from clinvar_ingest_spark.functions.extract import _WS_CHARS, _WS_PATTERN
+
+    naive = "[" + _WS_CHARS + "]+"
+    rnd = random.Random(7)
+    wsl = list(_WS_CHARS)
+    cases = []
+    for _ in range(3000):
+        parts = []
+        for _ in range(rnd.randrange(1, 8)):
+            parts.append(rnd.choice(["x", "ab", "", "é", "字", " "]))
+            parts.append("".join(rnd.choice(wsl) for _ in range(rnd.randrange(0, 4))))
+        cases.append("".join(parts))
+    cases += ["", " ", "  ", "a b", "a  b", "\xa0", " \xa0 ", "　" * 5]
+    arr = pa.array(cases, type=pa.string())
+    re2_naive = pc.replace_substring_regex(arr, pattern=naive, replacement=" ")
+    re2_fast = pc.replace_substring_regex(arr, pattern=_WS_PATTERN, replacement=" ")
+    assert re2_naive.to_pylist() == re2_fast.to_pylist()
+    rx_naive, rx_fast = re.compile(naive), re.compile(_WS_PATTERN)
+    for s in cases:
+        assert rx_naive.sub(" ", s) == rx_fast.sub(" ", s)
