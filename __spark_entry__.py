@@ -2453,7 +2453,8 @@ canon AS (
                regexp_replace(
                  regexp_replace(
                    regexp_replace(u, '#.*$', ''),
-                   '(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*', '', 'g'),
+                   '([?&])(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*',
+                   '\\1', 'g'),
                  '\\?&+', '?'),
                '&&+', '&', 'g'),
              '[?&]+$', '') AS s5

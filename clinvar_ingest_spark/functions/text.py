@@ -92,7 +92,12 @@ def fingerprint(text: Column) -> Column:
 # URL canonicalization rules, in application order. Deliberately
 # regex-only (no urllib in the hot path — stays inside codegen) and
 # deterministic; the DuckDB oracle applies the same regexes.
-TRACKING_PARAM_RE = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
+# The param NAME is anchored to a query separator and replaced with
+# that separator (ADVICE r3: unanchored, 'href='/'subref='/'pref=' were
+# mangled and 'name=value' text inside the path could be eaten —
+# distinct URLs then collapsed to one canonical key). Separator runs
+# left behind by removed params are collapsed by the later rules.
+TRACKING_PARAM_RE = r"([?&])(utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
@@ -109,7 +114,7 @@ def canonical_url(url: Column) -> Column:
     hosts then shares one canonical key — at 10^10 pages this is THE
     dedup lever before any content hashing."""
     u = F.regexp_replace(url, r"#.*$", "")                      # 2
-    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")              # 3
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "$1")            # 3
     u = F.regexp_replace(u, r"\?&+", "?")                       # 4
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?&]+$", "")

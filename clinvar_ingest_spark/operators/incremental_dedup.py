@@ -122,7 +122,7 @@ class NearDupIndex:
 
         changed = self._docs(buckets).persist()
         try:
-            new_bands = doc_bands(changed).join(
+            new_bands = doc_bands(changed, band_prefix=self.band_prefix).join(
                 changed.select("doc_id", BUCKET), "doc_id"
             )
             self._replace_partitions(self._bands, new_bands, buckets)
@@ -137,7 +137,7 @@ class NearDupIndex:
             # partners are the only unchanged docs whose connectivity
             # can change
             idx = self._read(self._bands)
-            probe = doc_bands(changed).join(
+            probe = doc_bands(changed, band_prefix=self.band_prefix).join(
                 idx.withColumnRenamed("doc_id", "partner"),
                 ["band_id", "band_val"],
             )

@@ -163,6 +163,13 @@ def test_canonical_url_rules(spark):
         ("https://a.b/x?utm_a=1&utm_b=2", "https://a.b/x"),
         ("https://a.b:8443/x", "https://a.b:8443/x"),   # non-default port kept
         ("https://a.b/X?Q=UPPER", "https://a.b/X?Q=UPPER"),  # path/query case kept
+        # ADVICE r3: unanchored tracking regex mangled longer param
+        # names and path text — these must all survive untouched
+        ("https://a.b/x?href=https://x", "https://a.b/x?href=https://x"),
+        ("https://a.b/x?subref=s&pref=p", "https://a.b/x?subref=s&pref=p"),
+        ("https://a.b/path/ref=abc123/page", "https://a.b/path/ref=abc123/page"),
+        ("https://a.b/x?a=1&ref=keepme2", "https://a.b/x?a=1"),  # real ref dropped
+        ("https://a.b/x?ref=r&utm_x=1&b=2", "https://a.b/x?b=2"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]

@@ -120,3 +120,43 @@ def test_incremental_delete_splits_cluster(spark, tmp_path):
     # either way incremental == full is the contract (checked above),
     # and B is gone:
     assert all(k != 2 for (_c, k, _n, _q) in got)
+
+
+def test_incremental_equals_full_with_nondefault_band_prefix(spark, tmp_path):
+    """ADVICE r3: refresh() used the default band prefix for the stored
+    index and the probe while _cluster_rows used self.band_prefix — a
+    non-default prefix silently diverged incremental from full. Pin
+    incremental == full at band_prefix=2 through insert/update batches."""
+    bp = 2
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(PAGES)
+    idx = NearDupIndex(tbl, band_prefix=bp)
+
+    rows = [
+        _doc(0, BASE_A + " one", 1),
+        _doc(1, BASE_A + " two", 2),
+        _doc(10, BASE_B + " alpha", 3),
+        _doc(11, BASE_B + " beta", 4),
+        _doc(20, "entirely different singleton content about gardens and rain", 5),
+    ]
+    tbl.merge_upsert(_batch(spark, rows))
+    assert idx.refresh() > 0
+
+    def _full_bp(tbl):
+        return {
+            (r["cluster"], r["keeper"], r["n_members"], r["best_q"])
+            for r in derive_curated_corpus(
+                tbl.read().select("url", "text"), band_prefix=bp
+            ).collect()
+        }
+
+    assert _inc(idx) == _full_bp(tbl)
+
+    # incremental batch: update doc 1 out, insert a near-dup of 20
+    rows = [
+        _doc(1, "replaced text resembling nothing else in this corpus", 6,
+             "update", dt.datetime(2024, 2, 1)),
+        _doc(21, "entirely different singleton content about gardens and sun", 7),
+    ]
+    tbl.merge_upsert(_batch(spark, rows))
+    assert idx.refresh() > 0
+    assert _inc(idx) == _full_bp(tbl)
