@@ -142,6 +142,8 @@ def corpus_frequency_score(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: int = 1,
+    max_broadcast_vocab: int | None = 2_000_000,
 ) -> DataFrame:
     """Corpus-level unigram frequency scoring (the deterministic
     stand-in for a KenLM-style LM quality filter, which would slot in
@@ -150,22 +152,51 @@ def corpus_frequency_score(
     document by the average corpus frequency of its tokens — low scores
     flag gibberish/rare-vocab pages, high scores boilerplate.
 
-    Plan: explode → count (map-side combinable) builds the vocab; the
-    vocab (≈10⁶ rows at web scale) BROADCASTS back onto the exploded
-    tokens, so pass 2 is shuffle-free until the final per-doc combine.
+    Plan: explode → count (map-side combinable) builds the vocab; pass 2
+    joins it back onto the exploded tokens and combines per doc.
+
+    The vocab of a real web corpus is NOT ≈10⁶ rows — typos, URLs and
+    hex hashes push distinct tokens to 10⁸-10⁹ (VERDICT r3), which
+    no broadcast survives. Two independent bounds:
+
+    * ``min_count`` frequency-floors the vocab (``HAVING count >= k``).
+      The long tail it drops is almost all count-1 junk; a dropped
+      token scores as count 1 (its exact value when ``min_count`` is 2,
+      a lower bound otherwise) via the left join's coalesce — so the
+      floor shrinks the vocab by ~half its rows per unit of k with a
+      bounded, documented bias. ``min_count=1`` (default) keeps exact
+      semantics: the vocab is complete and the coalesce never fires.
+    * ``max_broadcast_vocab`` picks the join strategy from the MEASURED
+      vocab size, not hope: the (floored) vocab is persisted, counted,
+      and broadcast only if it fits; larger vocabs take a plain
+      shuffled hash join (two more exchanges, but no driver/executor
+      OOM). ``None`` forces the broadcast unconditionally.
+
     Integer sums + one division keep the score bit-identical across
     engines (no log(), whose summation order would drift)."""
+    from pyspark import StorageLevel
+
     from clinvar_ingest_spark.functions.text import ws_tokens
 
     tok = docs.select(
         F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("t")
     )
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    if min_count > 1:
+        vocab = vocab.filter(F.col("c") >= min_count)
+    if max_broadcast_vocab is None:
+        vocab = F.broadcast(vocab)
+    else:
+        vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+        if vocab.count() <= max_broadcast_vocab:
+            vocab = F.broadcast(vocab)
     return (
-        tok.join(F.broadcast(vocab), "t")
+        tok.join(vocab, "t", "left")
         .groupBy(id_col)
         .agg(
-            F.round(F.avg("c"), 4).alias("freq_score"),
+            F.round(F.avg(F.coalesce(F.col("c"), F.lit(1))), 4).alias(
+                "freq_score"
+            ),
             F.count(F.lit(1)).alias("n_toks"),
         )
     )

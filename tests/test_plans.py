@@ -136,12 +136,73 @@ def test_pack_sequences_single_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_corpus_freq_score_broadcasts_vocab(spark):
+def test_corpus_freq_score_broadcasts_vocab_when_it_fits(spark):
     from clinvar_ingest_spark.operators.curation import corpus_frequency_score
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     plan = executed_plan(corpus_frequency_score(d))
     assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_freq_score_shuffle_join_above_vocab_cap(spark):
+    """VERDICT r3: an unbounded vocab broadcast OOMs at web scale — with
+    the measured vocab above max_broadcast_vocab the join must fall back
+    to a shuffled hash join, and the scores must be identical."""
+    from clinvar_ingest_spark.operators.curation import corpus_frequency_score
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    # The operator must not FORCE a broadcast above the cap. AQE may
+    # still legitimately re-broadcast when runtime stats show the vocab
+    # is tiny (it is, at test scale) — so prove the hint is absent by
+    # turning the auto-broadcast thresholds off: a hinted plan would
+    # broadcast anyway, an unhinted one must shuffle.
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        capped = corpus_frequency_score(d, max_broadcast_vocab=10)
+        plan = executed_plan(capped)
+        assert "BroadcastHashJoin" not in plan
+        hinted = corpus_frequency_score(d, max_broadcast_vocab=None)
+        assert "BroadcastHashJoin" in executed_plan(hinted)
+        base = corpus_frequency_score(d).collect()
+        assert sorted(map(tuple, capped.collect())) == sorted(
+            map(tuple, base)
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_corpus_freq_score_min_count_floor(spark):
+    """min_count floors the vocab; dropped tokens score as count 1 —
+    exact at min_count=2 (every dropped token truly occurs once)."""
+    from clinvar_ingest_spark.operators.curation import corpus_frequency_score
+
+    d = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "beta gamma"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    base = {
+        r["doc_id"]: (r["freq_score"], r["n_toks"])
+        for r in corpus_frequency_score(d).collect()
+    }
+    floored = {
+        r["doc_id"]: (r["freq_score"], r["n_toks"])
+        for r in corpus_frequency_score(d, min_count=2).collect()
+    }
+    # gamma/delta occur once: dropped from the floored vocab but their
+    # coalesce default (1) equals their true count -> identical scores
+    assert floored == base
 
 
 def test_two_level_ivf_assignment_shuffle_free(spark):
