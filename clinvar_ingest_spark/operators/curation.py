@@ -208,6 +208,8 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shard_items: int | None = 2_000_000,
+    auto_shards: bool = False,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to context-window bins
     of ≤ ``budget`` whitespace tokens (first-fit in id order), the
@@ -222,8 +224,50 @@ def pack_sequences(
     cluster and each bin stays shard-local. A document larger than the
     budget gets a bin of its own (never split, never dropped).
 
+    A shard materializes as ONE row holding its item array inside the
+    fold — the hidden limit of the collect_list shape (VERDICT r3). The
+    guard makes it explicit: per-shard item counts are measured with a
+    cheap id-only aggregate (column-pruned, no tokenization), and a
+    shard over ``max_shard_items`` either raises with the minimum
+    viable ``n_shards`` (default) or, with ``auto_shards=True``,
+    doubles ``n_shards`` until every shard fits (re-measured each
+    doubling — ``id % n`` distributions aren't guaranteed even).
+    NOTE: changing ``n_shards`` changes shard ids and bin packing, so
+    auto-splitting is opt-in rather than silent. The default cap keeps
+    a shard's struct array in the low-hundreds-of-MB range; size
+    ``n_shards`` to the cluster so shards ~ cores, not the cap.
+
     Returns (shard, bin_id, doc_id, n_toks); bin_id is per-shard."""
     from clinvar_ingest_spark.functions.text import ws_tokens
+
+    if max_shard_items is not None:
+        for _ in range(7):
+            mx = (
+                docs.groupBy(
+                    (F.col(id_col) % n_shards).cast("int").alias("shard")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n").alias("mx"))
+                .collect()[0]["mx"]
+            ) or 0
+            if mx <= max_shard_items:
+                break
+            if not auto_shards:
+                import math
+
+                raise ValueError(
+                    f"pack_sequences: largest shard holds {mx} items > "
+                    f"max_shard_items={max_shard_items}; raise n_shards "
+                    f"(>= ~{math.ceil(n_shards * mx / max_shard_items)}) "
+                    f"or pass auto_shards=True"
+                )
+            n_shards *= 2
+        else:
+            raise ValueError(
+                "pack_sequences: auto_shards could not reach "
+                f"max_shard_items={max_shard_items} within 7 doublings "
+                f"(duplicate-heavy {id_col}?)"
+            )
 
     t = docs.select(
         F.col(id_col),

@@ -219,3 +219,30 @@ def test_chunk_documents_partition_invariants(spark):
     assert [r[2] for r in d1] == [25, 25, 7]
     assert " ".join(r[3] for r in d1) == " ".join(texts)  # exact partition
     assert rows[-1] == (2, 0, 1, "solo")
+
+
+def test_pack_sequences_shard_size_guard(spark):
+    """VERDICT r3: a shard materializes as ONE array row — undersized
+    n_shards must raise (default) or auto-double (auto_shards=True)
+    rather than silently building a giant row."""
+    import pytest
+
+    from clinvar_ingest_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 3) for i in range(64)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_shard_items"):
+        pack_sequences(docs, n_shards=2, max_shard_items=10)
+
+    out = pack_sequences(
+        docs, n_shards=2, max_shard_items=10, auto_shards=True
+    )
+    rows = out.collect()
+    assert len(rows) == 64
+    from collections import Counter
+
+    per_shard = Counter(r["shard"] for r in rows)
+    assert max(per_shard.values()) <= 10
+    # n_shards doubled 2->4->8 (64/8 = 8 <= 10)
+    assert len(per_shard) == 8
