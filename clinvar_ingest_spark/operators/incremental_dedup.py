@@ -46,8 +46,10 @@ from pyspark.sql import functions as F
 from clinvar_ingest_spark.functions.text import quality_score
 from clinvar_ingest_spark.operators.components import connected_components
 from clinvar_ingest_spark.operators.curation import DOC_ID_RE
+from clinvar_ingest_spark.functions.similarity import jaccard
 from clinvar_ingest_spark.operators.similarity_dedup import (
     doc_bands,
+    doc_shingles,
     minhash_lsh_dedup,
 )
 
@@ -96,9 +98,14 @@ class NearDupIndex:
         rows.write.partitionBy(BUCKET).mode("append").parquet(d)
 
     # ------------------------------------------------------- refresh
-    def refresh(self) -> int:
+    def refresh(self, collect_stats: bool = False) -> int:
         """Bring the index and clusters up to the table's current
-        snapshot; returns the number of storage buckets touched."""
+        snapshot; returns the number of storage buckets touched.
+
+        ``collect_stats=True`` additionally records
+        ``self.last_stats = {delta, partners, affected_members}`` (three
+        delta-sized count jobs) — the soak uses it to evidence that the
+        recompute closure is O(delta), not O(bucket contents)."""
         cur = self.table.snapshot_id()
         last = None
         if os.path.exists(self._marker):
@@ -133,40 +140,109 @@ class NearDupIndex:
                 self._write_marker(cur)
                 return self.table.n_buckets
 
-            # probe: changed docs' bands vs the full (updated) index —
+            old = self._read(self._clusters)
+            legacy = "fp" not in old.columns
+            if legacy:
+                old = old.withColumn("fp", F.lit(None).cast("string"))
+            # KEY-granularity delta (VERDICT r3 #4): the manifest diff
+            # is bucket-level, but the docs whose connectivity can
+            # change are exactly those whose CONTENT changed — new ids,
+            # deleted ids, and ids whose stored text fingerprint no
+            # longer matches. Fingerprints (md5(text), written with the
+            # cluster rows) detect even changes the LSH bands cannot
+            # (pair verification and the quality keeper both read the
+            # raw text). Unchanged co-residents of a changed bucket no
+            # longer drag their clusters into the recompute — with few,
+            # large buckets the old bucket-level closure approached a
+            # full recompute.
+            cur_fp = changed.select(
+                "doc_id", F.md5("text").alias("_cur_fp")
+            )
+            old_in = old.filter(
+                F.col(BUCKET).isin([int(b) for b in buckets])
+            )
+            if not legacy:
+                delta_ids = (
+                    cur_fp.join(old_in.select("doc_id", "fp"), "doc_id", "full")
+                    .filter(~F.col("fp").eqNullSafe(F.col("_cur_fp")))
+                    .select("doc_id")
+                )
+            else:
+                # pre-fingerprint index (legacy layout): fall back to
+                # bucket granularity for this one refresh; rows written
+                # below carry fingerprints from then on
+                delta_ids = (
+                    cur_fp.select("doc_id")
+                    .unionByName(old_in.select("doc_id"))
+                    .distinct()
+                )
+            delta_cur = changed.join(delta_ids, "doc_id", "left_semi")
+
+            # probe: DELTA docs' bands vs the full (updated) index —
             # partners are the only unchanged docs whose connectivity
-            # can change
+            # can change. Candidates are then VERIFIED (same Jaccard
+            # rule as the pair builder) against the delta docs' current
+            # text before they widen the closure: an unverified band
+            # collision (e.g. a boilerplate shingle winning a minhash)
+            # creates no edge, so it can only create NEW connectivity
+            # if it verifies — and DISAPPEARING edges are covered by
+            # the delta docs' OLD clusters, which are affected anyway.
+            # Without this, one hot band value drags whole unrelated
+            # clusters into every recompute (measured: delta=4 ->
+            # closure=1600/2000 in the churn soak).
             idx = self._read(self._bands)
-            probe = doc_bands(changed, band_prefix=self.band_prefix).join(
+            probe = doc_bands(delta_cur, band_prefix=self.band_prefix).join(
                 idx.withColumnRenamed("doc_id", "partner"),
                 ["band_id", "band_val"],
             )
-            partners = probe.select(
-                F.col("partner").alias("doc_id"), F.col(BUCKET)
-            ).distinct()
-
-            old = self._read(self._clusters)
-            touched = (
-                changed.select("doc_id")
-                .unionByName(partners.select("doc_id"))
+            cand = (
+                probe.filter(F.col("doc_id") != F.col("partner"))
+                .select("doc_id", "partner", BUCKET)
                 .distinct()
+            )
+            p_ids = cand.select(F.col("partner"), F.col(BUCKET)).distinct()
+            p_buckets = sorted(
+                {r[BUCKET] for r in p_ids.select(BUCKET).distinct().collect()}
+            )
+            p_docs = (
+                self._docs(p_buckets).join(
+                    p_ids.select(F.col("partner").alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
+                )
+                if p_buckets
+                else delta_cur.limit(0)
+            )
+            sh_d = doc_shingles(delta_cur).withColumnRenamed("sh", "sh_a")
+            sh_p = (
+                doc_shingles(p_docs)
+                .withColumnRenamed("doc_id", "partner")
+                .withColumnRenamed("sh", "sh_b")
+            )
+            partners = (
+                cand.join(sh_d, "doc_id")
+                .join(sh_p, "partner")
+                .filter(
+                    F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+                    >= self.threshold
+                )
+                .select(F.col("partner").alias("doc_id"), F.col(BUCKET))
+                .distinct()
+            )
+
+            touched = (
+                delta_ids.unionByName(partners.select("doc_id")).distinct()
             )
             affected_clusters = (
                 old.join(touched, "doc_id", "left_semi")
                 .select("cluster")
-                .union(
-                    # clusters holding any row of a changed bucket —
-                    # covers docs DELETED from those buckets
-                    old.filter(F.col(BUCKET).isin([int(b) for b in buckets]))
-                    .select("cluster")
-                )
                 .distinct()
             )
             members = old.join(affected_clusters, "cluster", "left_semi").select(
                 "doc_id", BUCKET
             )
             affected = (
-                members.unionByName(changed.select("doc_id", BUCKET))
+                members.unionByName(delta_cur.select("doc_id", BUCKET))
                 .unionByName(partners)
                 .distinct()
             )
@@ -181,6 +257,12 @@ class NearDupIndex:
                 .join(affected.select("doc_id").distinct(), "doc_id", "left_semi")
                 .persist()
             )
+            if collect_stats:
+                self.last_stats = {
+                    "delta": delta_ids.count(),
+                    "partners": partners.count(),
+                    "affected_members": aff_docs.count(),
+                }
             rows = self._cluster_rows(aff_docs)
 
             # rewrite exactly the partitions that hold affected rows:
@@ -189,8 +271,8 @@ class NearDupIndex:
                 old.filter(F.col(BUCKET).isin([int(b) for b in aff_buckets]))
                 .join(affected_clusters, "cluster", "left_anti")
             )
-            out = keep.select("doc_id", "cluster", "q", BUCKET).unionByName(
-                rows.select("doc_id", "cluster", "q", BUCKET)
+            out = keep.select("doc_id", "cluster", "q", "fp", BUCKET).unionByName(
+                rows.select("doc_id", "cluster", "q", "fp", BUCKET)
             )
             # materialize BEFORE the partition swap: the plan reads the
             # same files the swap deletes
@@ -203,20 +285,24 @@ class NearDupIndex:
             changed.unpersist()
 
     def _cluster_rows(self, docs: DataFrame) -> DataFrame:
-        """(doc_id, cluster, q, bucket) for the given doc set — pairs and
-        components computed ONLY within the set (valid because bands are
-        per-doc: subset LSH == global LSH restricted to the subset)."""
+        """(doc_id, cluster, q, fp, bucket) for the given doc set —
+        pairs and components computed ONLY within the set (valid because
+        bands are per-doc: subset LSH == global LSH restricted to the
+        subset). ``fp`` is the content fingerprint the next refresh
+        diffs against to find the key-granularity delta."""
         pairs = minhash_lsh_dedup(
             docs, threshold=self.threshold, band_prefix=self.band_prefix
         )
         comp = connected_components(pairs)
         return (
             docs.withColumn("q", quality_score(F.col("text")))
+            .withColumn("fp", F.md5("text"))
             .join(comp, docs.doc_id == comp.node, "left")
             .select(
                 "doc_id",
                 F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
                 "q",
+                "fp",
                 BUCKET,
             )
         )

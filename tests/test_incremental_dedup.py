@@ -160,3 +160,39 @@ def test_incremental_equals_full_with_nondefault_band_prefix(spark, tmp_path):
     tbl.merge_upsert(_batch(spark, rows))
     assert idx.refresh() > 0
     assert _inc(idx) == _full_bp(tbl)
+
+
+def test_affected_closure_is_key_granular(spark, tmp_path):
+    """VERDICT r3 #4: on a 2-bucket table, updating ONE doc must not
+    drag its bucket's co-resident clusters into the recompute — the
+    closure is the doc's own cluster (+ probe partners), not the
+    bucket's contents."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), "url", 2).create(PAGES)
+    idx = NearDupIndex(tbl)
+
+    # 12 singleton docs with disjoint vocab + one near-dup pair
+    rows = [
+        _doc(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g", i + 1)
+        for i in range(12)
+    ] + [
+        _doc(100, BASE_A + " one", 50),
+        _doc(101, BASE_A + " two", 51),
+    ]
+    tbl.merge_upsert(_batch(spark, rows))
+    idx.refresh()
+
+    # update exactly one singleton's content
+    tbl.merge_upsert(
+        _batch(
+            spark,
+            [_doc(3, "x3a x3b x3c x3d x3e x3f x3g", 60, "update",
+                  dt.datetime(2024, 3, 1))],
+        )
+    )
+    idx.refresh(collect_stats=True)
+    st = idx.last_stats
+    assert st["delta"] == 1
+    # closure = the one changed doc (+ any probe partners, none here),
+    # NOT the ~7 co-residents of its storage bucket
+    assert st["affected_members"] <= 2, st
+    assert _inc(idx) == _full(tbl)

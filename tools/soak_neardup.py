@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -41,47 +42,62 @@ def main():
     ])
     workdir = tempfile.mkdtemp(prefix="soak_nd_")
     try:
-        tbl = SnapshotTable(spark, os.path.join(workdir, "t"), "url", 16).create(schema)
+        tbl = SnapshotTable(
+            spark, os.path.join(workdir, "t"), "url", n_buckets
+        ).create(schema)
         idx = NearDupIndex(tbl)
 
         # deterministic text pool: 40 base phrases, docs get base + small
         # suffix, so near-dup groups form and churn across batches
         def batch_df(b):
-            lo, hi = b * n_docs // n_batches, (b + 1) * n_docs // n_batches
-            d = spark.range(lo, hi).select(
+            # CDC shape: batch 0 bootstraps the whole corpus; later
+            # batches churn (update/delete) TWO groups' docs — localized
+            # deltas, the case where key-granularity closure pays off
+            if b == 0:
+                lo, hi = 0, n_docs
+                d = spark.range(lo, hi)
+            else:
+                g1, g2 = b % 40, (b + 13) % 40
+                d = spark.range(0, n_docs).filter(
+                    (F.col("id") % 40).isin(g1, g2)
+                    & ((F.col("id") + b) % 3 == 0)
+                )
+            d = d.select(
                 F.concat(F.lit("https://docs.site/d"), F.col("id")).alias("url"),
-                F.timestamp_seconds(F.lit(1704067200) + F.lit(b) * 86400 + F.col("id")).alias("warc_ts"),
-                (F.lit(b) * n_docs + F.col("id")).alias("seq"),
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.lit(b) * 86400 + F.col("id")
+                ).alias("warc_ts"),
+                (F.lit(b) * n_docs * 2 + F.col("id")).alias("seq"),
+                # group-DISTINCT vocabulary (8 tokens all carrying the
+                # group id): near-dups form only within a group, so the
+                # corpus holds ~40 small clusters, not 2 giant ones —
+                # a giant cluster makes ANY closure O(corpus) by
+                # definition and can't evidence key granularity
                 F.concat(
-                    F.lit("phrase pool token run number "),
-                    (F.col("id") % 40).cast("string"),
-                    F.lit(" shared boilerplate span alpha beta gamma delta epsilon zeta "),
-                    F.lit("rev "), F.lit(b % 3).cast("string"),
+                    F.lit("ga"), (F.col("id") % 40).cast("string"),
+                    F.lit(" gb"), (F.col("id") % 40).cast("string"),
+                    F.lit(" gc"), (F.col("id") % 40).cast("string"),
+                    F.lit(" gd"), (F.col("id") % 40).cast("string"),
+                    F.lit(" ge"), (F.col("id") % 40).cast("string"),
+                    F.lit(" gf"), (F.col("id") % 40).cast("string"),
+                    F.lit(" gg"), (F.col("id") % 40).cast("string"),
+                    F.lit(" gh"), (F.col("id") % 40).cast("string"),
+                    F.lit(" rev "), F.lit(b % 3).cast("string"),
                     F.lit(" tail "), (F.col("id") % 7).cast("string"),
                 ).alias("text"),
                 F.when((F.col("id") + b) % 17 == 0, F.lit("delete"))
                  .otherwise(F.lit("update")).alias("op"),
             )
-            # each batch also REVISITS a slice of earlier docs (updates + deletes)
-            if b > 0:
-                redo = spark.range(0, lo).filter((F.col("id") + b) % 11 == 0).select(
-                    F.concat(F.lit("https://docs.site/d"), F.col("id")).alias("url"),
-                    F.timestamp_seconds(F.lit(1704067200) + F.lit(b) * 86400 + F.lit(50000) + F.col("id")).alias("warc_ts"),
-                    (F.lit(b) * n_docs + F.lit(n_docs) + F.col("id")).alias("seq"),
-                    F.concat(F.lit("rewritten content batch "), F.lit(b).cast("string"),
-                             F.lit(" unique tokens "), (F.col("id") % 13).cast("string"),
-                             F.lit(" omega psi chi phi upsilon")).alias("text"),
-                    F.when((F.col("id") + b) % 5 == 0, F.lit("delete"))
-                     .otherwise(F.lit("update")).alias("op"),
-                )
-                d = d.unionByName(redo)
             return d
 
         t0 = time.monotonic()
-        touched = []
+        touched, members, deltas = [], [], []
         for b in range(n_batches):
             tbl.merge_upsert(batch_df(b))
-            touched.append(idx.refresh())
+            touched.append(idx.refresh(collect_stats=True))
+            st = getattr(idx, "last_stats", {})
+            members.append(st.get("affected_members"))
+            deltas.append(st.get("delta"))
         wall = time.monotonic() - t0
 
         inc = sorted(
@@ -97,8 +113,11 @@ def main():
             "metric": "soak_neardup",
             "n_docs": n_docs,
             "n_batches": n_batches,
+            "n_buckets": n_buckets,
             "wall_sec": round(wall, 1),
             "buckets_touched_per_batch": touched,
+            "affected_members_per_batch": members,
+            "delta_docs_per_batch": deltas,
             "clusters": len(inc),
             "incremental_equals_full": ok,
         }))
