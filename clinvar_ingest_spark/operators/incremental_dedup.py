@@ -55,6 +55,35 @@ from clinvar_ingest_spark.operators.similarity_dedup import (
 
 BUCKET = "_src_bucket"
 
+# Driver-side cap on the probe's literal band-value pushdown: the delta
+# is O(batch) docs x N_MINHASH bands, so the distinct-value list is
+# metadata-sized; past the cap the pushdown is skipped and the plain
+# equi-join carries the probe (no wrong answers either way).
+MAX_PROBE_LITERALS = 20_000
+
+
+def pruned_index_probe(idx: DataFrame, delta_bands: DataFrame) -> DataFrame:
+    """Join delta docs' bands against the stored band index, pushing
+    the delta's distinct band values into the index SCAN as an In()
+    filter. The index files are written clustered by band_val
+    (``_replace_partitions(sort_col="band_val")``), so the pushed
+    filter prunes row groups via parquet min/max stats — the probe
+    reads O(matching row groups), not the full index (plan-asserted in
+    tests/test_plans.py). Returns (doc_id, partner, band cols...)."""
+    vals = [
+        r["band_val"]
+        for r in delta_bands.select("band_val")
+        .distinct()
+        .limit(MAX_PROBE_LITERALS + 1)
+        .collect()
+    ]
+    if 0 < len(vals) <= MAX_PROBE_LITERALS:
+        idx = idx.filter(F.col("band_val").isin(vals))
+    return delta_bands.join(
+        idx.withColumnRenamed("doc_id", "partner"),
+        ["band_id", "band_val"],
+    )
+
 
 class NearDupIndex:
     def __init__(
@@ -89,7 +118,22 @@ class NearDupIndex:
             return None
         return self.spark.read.parquet(d)
 
-    def _replace_partitions(self, d: str, rows: DataFrame, buckets) -> None:
+    def _replace_partitions(
+        self, d: str, rows: DataFrame, buckets, sort_col: str | None = None
+    ) -> None:
+        if sort_col is not None:
+            # cluster the files by sort_col (Iceberg sort-order analog):
+            # one task per storage bucket, rows sorted within it, so
+            # every written file's row groups carry tight min/max stats
+            # on sort_col and a pushed-down probe filter skips row
+            # groups instead of scanning the index
+            # sort key PREFIXED with the partition column: the V1
+            # planned write requires ordering by partition columns and
+            # would inject its own sort (destroying the clustering) if
+            # the existing ordering didn't already satisfy it
+            rows = rows.repartition(F.col(BUCKET)).sortWithinPartitions(
+                F.col(BUCKET), F.col(sort_col)
+            )
         if buckets is None:
             rows.write.partitionBy(BUCKET).mode("overwrite").parquet(d)
             return
@@ -132,7 +176,9 @@ class NearDupIndex:
             new_bands = doc_bands(changed, band_prefix=self.band_prefix).join(
                 changed.select("doc_id", BUCKET), "doc_id"
             )
-            self._replace_partitions(self._bands, new_bands, buckets)
+            self._replace_partitions(
+                self._bands, new_bands, buckets, sort_col="band_val"
+            )
 
             if buckets is None:
                 rows = self._cluster_rows(changed)
@@ -191,10 +237,8 @@ class NearDupIndex:
             # clusters into every recompute (measured: delta=4 ->
             # closure=1600/2000 in the churn soak).
             idx = self._read(self._bands)
-            probe = doc_bands(delta_cur, band_prefix=self.band_prefix).join(
-                idx.withColumnRenamed("doc_id", "partner"),
-                ["band_id", "band_val"],
-            )
+            d_bands = doc_bands(delta_cur, band_prefix=self.band_prefix)
+            probe = pruned_index_probe(idx, d_bands)
             cand = (
                 probe.filter(F.col("doc_id") != F.col("partner"))
                 .select("doc_id", "partner", BUCKET)

