@@ -357,8 +357,12 @@ class SnapshotTable:
         recorded pid is no longer alive. A writer SIGKILLed between lock
         creation and the finally-unlink previously wedged the table
         forever (every commit, including merge_upsert_retrying, spun the
-        full wait and raised). Breaking is race-safe: contenders rename
-        the stale lock to a unique name first, so exactly one wins."""
+        full wait and raised). Breaking goes through
+        :meth:`_break_stale_lock`: a secondary breaker lock serializes
+        breakers, and the break is verified by inode so a stale lock
+        that was released-and-reacquired by a live writer between the
+        staleness check and the rename is restored, not stolen
+        (round-3 ADVICE TOCTOU)."""
         lock = os.path.join(self.path, _LOCK)
         deadline = time.monotonic() + wait
         while True:
@@ -368,13 +372,12 @@ class SnapshotTable:
                 os.close(fd)
                 return lock
             except FileExistsError:
+                try:
+                    ino = os.stat(lock).st_ino
+                except OSError:
+                    continue  # vanished — normal release, retry acquire
                 if self._lock_is_stale(lock):
-                    grave = lock + f".stale-{uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(lock, grave)  # one breaker wins
-                        os.unlink(grave)
-                    except OSError:
-                        pass
+                    self._break_stale_lock(lock, ino)
                     continue
                 if time.monotonic() > deadline:
                     raise CommitConflictError(
@@ -404,6 +407,80 @@ class SnapshotTable:
             return True  # holder died without releasing
         except PermissionError:
             return False  # alive, different user
+
+    def _break_stale_lock(self, lock: str, expect_ino: int) -> None:
+        """Break ``lock`` only if it is still the SAME file observed
+        stale (inode match), under a secondary breaker lock.
+
+        The breaker serializes contending breakers; the inode re-check
+        under it plus the post-rename verification close the round-3
+        ADVICE TOCTOU: if the stale holder's lock vanished and a LIVE
+        writer re-acquired between the caller's staleness check and the
+        rename, the renamed file's inode differs and the live lock is
+        restored via ``os.link`` (which refuses to clobber a newer
+        lock). The residual window — release + re-acquire + a second
+        re-acquire all landing between one fstat pair — needs four
+        racing events inside microseconds and is accepted for a
+        local-FS lock; a real deployment points the catalog at an
+        atomic CAS service (the reference uses BigQuery jobs the same
+        way, clinvar_ingest/cloud/bigquery.py)."""
+        breaker = lock + ".breaker"
+        try:
+            fd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            # another breaker is active; if ITS holder died, TTL-break
+            # it and let the acquire loop re-drive
+            try:
+                if time.time() - os.stat(breaker).st_mtime > self._LOCK_TTL:
+                    os.unlink(breaker)
+            except OSError:
+                pass
+            return
+        try:
+            try:
+                st = os.stat(lock)
+            except OSError:
+                return  # already gone
+            if st.st_ino != expect_ino or not self._lock_is_stale(lock):
+                return  # replaced by a fresh lock, or no longer stale
+            grave = lock + f".stale-{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(lock, grave)
+            except OSError:
+                return
+            try:
+                if os.stat(grave).st_ino == expect_ino:
+                    os.unlink(grave)  # broke the verified-stale lock
+                else:
+                    # raced a release+reacquire: grave holds a LIVE
+                    # writer's lock — put it back
+                    try:
+                        os.link(grave, lock)
+                    except OSError:
+                        pass
+                    os.unlink(grave)
+            except OSError:
+                pass
+        finally:
+            try:
+                os.unlink(breaker)
+            except OSError:
+                pass
+
+    def _release_lock(self, lock: str) -> None:
+        """Release only if still the owner: a TTL-broken slow writer
+        must not unlink the lock a successor legitimately holds."""
+        try:
+            with open(lock) as f:
+                owner = int(f.read().strip() or "0")
+        except (OSError, ValueError):
+            return
+        if owner == os.getpid():
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     # ----------------------------------------------------------------- write
     def _commit(
@@ -463,10 +540,7 @@ class SnapshotTable:
             os.replace(tmp, self._ptr_path())  # the commit point
             self._gc_orphan_manifests(name)
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            self._release_lock(lock)
         return sid, mpath
 
     def create(self, schema: T.StructType, properties: dict[str, Any] | None = None):
@@ -1162,10 +1236,7 @@ class SnapshotTable:
                         pass
                 chain = cut
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            self._release_lock(lock)
         referenced: set[str] = set()
         for name in chain:
             m = self._load_manifest(name)

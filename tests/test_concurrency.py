@@ -243,3 +243,64 @@ def test_history_with_legacy_manifest_chain(spark, tmp_table_dir):
     t.vacuum_orphans(keep_snapshots=2)
     assert len(t.history()) == 2
     assert t.read().count() == 3  # state intact
+
+
+def test_stale_break_verifies_inode_and_restores_live_lock(spark, tmp_path):
+    """ADVICE r3 TOCTOU: if the 'stale' lock was replaced by a LIVE
+    writer's fresh lock between the staleness check and the break, the
+    break must not steal it — inode mismatch aborts (and a mid-rename
+    steal is restored)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("seq", T.LongType())])
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 2).create(schema)
+    lock = os.path.join(t.path, "_commit.lock")
+
+    # dead-holder stale lock, then REPLACED by a live writer before the
+    # breaker runs (simulates the race): break must be a no-op
+    with open(lock, "w") as f:
+        f.write("999999999")
+    os.utime(lock, (0, 0))                      # ancient -> stale
+    stale_ino = os.stat(lock).st_ino
+    os.unlink(lock)                             # holder 'released'
+    with open(lock, "w") as f:                  # live writer re-acquired
+        f.write(str(os.getpid()))
+    live_ino = os.stat(lock).st_ino
+    t._break_stale_lock(lock, stale_ino)
+    assert os.path.exists(lock)
+    assert os.stat(lock).st_ino == live_ino     # untouched
+
+    # matching inode + genuinely stale -> broken
+    os.unlink(lock)
+    with open(lock, "w") as f:
+        f.write("999999999")
+    os.utime(lock, (0, 0))
+    t._break_stale_lock(lock, os.stat(lock).st_ino)
+    assert not os.path.exists(lock)
+
+
+def test_release_lock_checks_ownership(spark, tmp_path):
+    """A TTL-broken slow writer must not unlink its successor's lock."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("seq", T.LongType())])
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 2).create(schema)
+    lock = os.path.join(t.path, "_commit.lock")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid() + 12345))       # someone else's lock
+    t._release_lock(lock)
+    assert os.path.exists(lock)                 # NOT removed
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))               # ours
+    t._release_lock(lock)
+    assert not os.path.exists(lock)
