@@ -180,3 +180,22 @@ def _interval_ms(spec: str) -> int:
     if len(parts) != 2 or parts[1].lower() not in _UNITS_MS:
         raise ValueError(f"can't parse interval {spec!r} (want e.g. '10 minutes')")
     return int(float(parts[0]) * _UNITS_MS[parts[1].lower()])
+
+
+# Always-on tails at 10^9 active keys outgrow the default (HDFS-backed)
+# state store provider, which keeps every key's state in executor heap
+# maps and snapshots whole files per checkpoint. The RocksDB provider
+# spills state to executor-local disk with bounded memory, and changelog
+# checkpointing uploads per-batch deltas instead of full snapshots —
+# both are exactly the knobs a 100-TB deployment sets. Pass to
+# ``get_spark(extra_conf=ROCKSDB_STATE_CONF)`` (or spark.conf.set before
+# the query starts; the provider is read at query start).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
