@@ -3159,18 +3159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "min_cost_lineitems": q_min_cost_lineitems,
         "nation_pair_revenue": q_nation_pair_revenue,
-        "brand_supplier_counts": q_brand_supplier_counts,
         "top_supplier_revenue": q_top_supplier_revenue,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "fast_movers_suppliers": q_fast_movers_suppliers,
-        "top_customers_revenue": q_top_customers_revenue,
         # -- tier 4: scalar / normalization suite -----------------------
         "sanitize_date": q_sanitize_date,
         "try_int_cast": q_try_int_cast,
         "json_extract": q_json_extract,
         "coalesce_oneof": q_coalesce_oneof,
         "user_event_type_sets": q_user_event_type_sets,
-        "array_overlap": q_array_overlap,
         "union_append": q_union_append,
         "event_type_stats": q_event_type_stats,
         # -- tier 5: flagship LLM-pipeline ops --------------------------
@@ -3181,6 +3176,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "corpus_curation_funnel": q_corpus_curation_funnel,
+        # -- round-4 rotation: previously past-window queries earn a
+        # driver-artifact row (VERDICT r3 #7); the five TPC-H/scalar
+        # variants they displaced keep tools/check_oracle.py coverage
+        "warc_roundtrip": q_warc_roundtrip,
+        "ann_ivf_two_level": q_ann_ivf_two_level,
+        "pack_sequences": q_pack_sequences,
+        "eval_decontamination": q_eval_decontamination,
+        "canonical_urls": q_canonical_urls,
         # ============ driver correctness window ends here (50) =========
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3204,16 +3207,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_ivf_two_level": q_ann_ivf_two_level,
-        "warc_roundtrip": q_warc_roundtrip,
         "multimodal_features": q_multimodal_features,
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
-        "eval_decontamination": q_eval_decontamination,
-        "canonical_urls": q_canonical_urls,
         "corpus_freq_score": q_corpus_freq_score,
-        "pack_sequences": q_pack_sequences,
+        "brand_supplier_counts": q_brand_supplier_counts,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "fast_movers_suppliers": q_fast_movers_suppliers,
+        "top_customers_revenue": q_top_customers_revenue,
+        "array_overlap": q_array_overlap,
     }
+
+
+# Names the driver's 50-entry correctness artifact measures this round —
+# derived from registry order, asserted in tests/test_submit.py so a
+# refactor can't silently demote a gate query, and recorded in
+# COVERAGE.md. Everything past the window is enforced by
+# tools/check_oracle.py over the FULL registry (tools/ci.sh runs it
+# alongside pytest + bench as the repo's CI entry point).
+DRIVER_WINDOW = 50
+
+
+def driver_window_names() -> list[str]:
+    return list(queries())[:DRIVER_WINDOW]
 
 
 def oracle_sql() -> dict[str, str]:

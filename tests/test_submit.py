@@ -69,3 +69,34 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     )
     assert status["global_hwm"] == 1999
     assert status["batch_id"] == 1
+
+
+def test_driver_window_membership_is_pinned():
+    """ADVICE r3: the 50-entry driver correctness window is load-bearing
+    registry order — pin its membership so a refactor can't silently
+    demote a gate query past the measured window."""
+    import __spark_entry__ as e
+
+    w = e.driver_window_names()
+    assert len(w) == e.DRIVER_WINDOW == 50
+    gate_critical = {
+        # CDC lifecycle
+        "cdc_pipeline_state", "cdc_resume_state", "cdc_mor_state",
+        "cdc_schema_evolution", "cdc_compacted_state", "cdc_domain_stats",
+        "cdc_curated_corpus", "cdc_incremental_neardup",
+        "snapshot_changes", "tree_disassemble", "event_time_windows",
+        "stream_change_feed",
+        # flagship LLM ops
+        "exact_dedup_docs", "minhash_lsh_dedup", "near_dup_clusters",
+        "simhash_near_dup", "ann_ivf", "ann_ivf_kmeans",
+        "corpus_curation_funnel",
+        # round-4 rotation (first-ever driver rows)
+        "warc_roundtrip", "ann_ivf_two_level", "pack_sequences",
+        "eval_decontamination", "canonical_urls",
+    }
+    missing = gate_critical - set(w)
+    assert not missing, f"gate queries fell out of the driver window: {missing}"
+    # every registered query has an oracle or is a documented exemption
+    oracles = set(e.oracle_sql())
+    no_oracle = set(e.queries()) - oracles
+    assert no_oracle <= {"multimodal_features"}, no_oracle
