@@ -2487,6 +2487,65 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_bigram_freq_score(spark, sf_dir):
+    """Bigram count-LM quality scoring (the deterministic 2-gram
+    upgrade of corpus_freq_score: local coherence, not bag-of-words) —
+    integer sums + one division so both engines agree bit-for-bit."""
+    from clinvar_ingest_spark.operators.lm_score import bigram_frequency_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_frequency_score(d).orderBy("doc_id")
+
+
+_SQL_BIGRAM_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, pair[1] AS prev, pair[2] AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS pair
+    FROM toks WHERE len(ts) >= 2
+  ) u
+),
+model AS (SELECT prev, tok, count(*) AS c FROM bg GROUP BY prev, tok),
+scored AS (
+  SELECT b.doc_id,
+         round(avg(coalesce(m.c, 1)), 4) AS bigram_score,
+         count(*) AS n_bigrams
+  FROM bg b LEFT JOIN model m USING (prev, tok)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, bigram_score, CAST(n_bigrams AS BIGINT) AS n_bigrams
+FROM scored
+UNION ALL
+SELECT doc_id, 0.0 AS bigram_score, CAST(0 AS BIGINT) AS n_bigrams
+FROM toks WHERE len(ts) < 2
+ORDER BY doc_id
+"""
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Interpolated-bigram perplexity filter (KenLM-slot scorer): model
+    trained corpus-side, scoring in one Arrow-batched pandas UDF.
+    Row-local log-space fold -> deterministic within the engine but not
+    bit-portable across libms, so this registers rows-only (no value
+    oracle); bigram_freq_score is the exact-integer twin that carries
+    the hash gate."""
+    from clinvar_ingest_spark.operators.lm_score import lm_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        lm_perplexity(d)
+        .select("doc_id", F.round("ppl", 2).alias("ppl"), "n_toks")
+        .orderBy("doc_id")
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy context-window packing: per-shard first-fit of documents
     into ≤256-token bins via ONE codegen'd aggregate fold per shard —
@@ -3216,6 +3275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_movers_suppliers": q_fast_movers_suppliers,
         "top_customers_revenue": q_top_customers_revenue,
         "array_overlap": q_array_overlap,
+        "bigram_freq_score": q_bigram_freq_score,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -3330,6 +3391,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "eval_decontamination": _SQL_DECONTAM,
         "canonical_urls": _SQL_CANONICAL,
         "corpus_freq_score": _SQL_FREQ_SCORE,
+        "bigram_freq_score": _SQL_BIGRAM_SCORE,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,

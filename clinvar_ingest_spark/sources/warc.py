@@ -34,9 +34,11 @@ far above any spec-conformant record) or records missing
 ``Content-Length`` stop the parse at that offset rather than guessing
 at framing.
 
-Scope note (honest): production WARCs are gzip-per-record; Spark's
-codec handles whole-file decompression at read time, and binary
-payloads ride the existing ``html: binary`` column convention.
+Production WARCs are gzip-per-record (one gzip member per record):
+:func:`read_warc_gz` walks the member chain with a real decompressor
+inside one Arrow-batched ``mapInPandas`` and applies the same
+length-driven framing; binary payloads ride the existing
+``html: binary`` column convention.
 """
 
 from __future__ import annotations
@@ -162,3 +164,119 @@ def make_warc_record(
         payload,
         F.lit(CRLF + CRLF),
     )
+
+
+# ---- gzip-per-record segments (the production Common-Crawl layout) --
+#
+# A real .warc.gz is a CONCATENATION of gzip members, one per record —
+# that is what makes a 1 GB segment splittable record-wise and lets a
+# fetcher range-request a single record. Whole-file codecs (Spark's
+# gzip support) see only one stream, so the member walk needs a real
+# decompressor: ONE mapInPandas over `binaryFile` rows (Arrow-batched,
+# no per-row Python dispatch), zlib member-by-member, then the SAME
+# length-driven record framing as the text path above. A 100-TB crawl
+# is many segments; parallelism is per-file, which is exactly how
+# production WARC readers shard (reference analog: streaming-bounded
+# record iteration, clinvar_ingest/reader.py:144-189).
+
+_WARC_GZ_SCHEMA = (
+    "path string, member_idx long, warc_uri string, warc_date string, "
+    "warc_type string, payload binary"
+)
+
+
+def _split_gzip_members(data: bytes):
+    """Yield (member_index, decompressed_bytes) for each gzip member in
+    a concatenated-member stream (zlib exposes unused_data at member
+    boundaries; a plain `gzip.decompress` would fuse all members)."""
+    import zlib
+
+    idx = 0
+    buf = data
+    while buf:
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out = d.decompress(buf)
+        if not d.eof:
+            raise ValueError(f"truncated gzip member {idx}")
+        yield idx, out
+        idx += 1
+        buf = d.unused_data.lstrip(b"\x00")
+
+
+def _parse_record_bytes(rec: bytes, header_cap: int = MAX_HEADER_BYTES):
+    """Length-driven parse of ONE record's bytes (same contract as the
+    column-level fold: Content-Length slices the payload, malformed
+    records return None rather than guessing)."""
+    if not rec.startswith(RECORD_MARK.encode()):
+        return None
+    end = rec.find(b"\r\n\r\n", 0, header_cap)
+    if end < 0:
+        return None
+    header = rec[:end].decode("iso-8859-1")
+    import re as _re
+
+    def field(name):
+        m = _re.search(rf"(?:^|\r\n){name}: ([^\r\n]+)", header)
+        return m.group(1) if m else None
+
+    cl = field("Content-Length")
+    if cl is None or not cl.isdigit():
+        return None
+    start = end + 4
+    return (
+        field("WARC-Target-URI"),
+        field("WARC-Date"),
+        field("WARC-Type"),
+        rec[start:start + int(cl)],
+    )
+
+
+def read_warc_gz(spark, path: str) -> DataFrame:
+    """Read gzip-per-record WARC segments under ``path`` into one row
+    per record: (path, member_idx, warc_uri, warc_date, warc_type,
+    payload:binary). Payloads stay BYTES (a crawl holds images and
+    broken encodings too); decode downstream via the html:binary
+    column convention."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def _explode(batches):
+        for pdf in batches:
+            rows = {
+                "path": [], "member_idx": [], "warc_uri": [],
+                "warc_date": [], "warc_type": [], "payload": [],
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for idx, rec in _split_gzip_members(bytes(content)):
+                    parsed = _parse_record_bytes(rec)
+                    if parsed is None:
+                        continue
+                    uri, date, typ, payload = parsed
+                    rows["path"].append(p)
+                    rows["member_idx"].append(idx)
+                    rows["warc_uri"].append(uri)
+                    rows["warc_date"].append(date)
+                    rows["warc_type"].append(typ)
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(
+        _explode, schema=_WARC_GZ_SCHEMA
+    )
+
+
+def write_warc_gz(df, out_path: str, record_col: str = "rec") -> int:
+    """Serialize one gzip MEMBER per record (driver-side helper for
+    fixtures/tests — a production writer is a foreachPartition of the
+    same per-record gzip.compress). Returns records written."""
+    import gzip
+    import os
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    n = 0
+    with open(out_path, "wb") as f:
+        for r in df.select(record_col).toLocalIterator():
+            f.write(gzip.compress(r[record_col].encode()))
+            n += 1
+    return n

@@ -1,0 +1,110 @@
+"""Model-based quality scoring: bigram count-LM + perplexity filter."""
+
+from pyspark.sql import functions as F
+
+
+def test_bigram_score_semantics(spark):
+    """Coherent docs (shared corpus bigrams) outscore shuffled ones even
+    when unigrams are identical — the property the unigram score lacks."""
+    from clinvar_ingest_spark.operators.lm_score import bigram_frequency_score
+
+    coherent = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, coherent),
+            (2, coherent),
+            (3, coherent),
+            (4, "dog the over quick lazy jumps brown fox the"),  # same unigrams
+            (5, "solo"),            # 1 token -> no bigrams
+            (6, ""),                # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["bigram_score"], r["n_bigrams"])
+        for r in bigram_frequency_score(docs).collect()
+    }
+    assert out[5] == (0.0, 0) and out[6] == (0.0, 0)
+    assert out[1] == out[2] == out[3]
+    assert out[1][0] > out[4][0]  # coherence signal
+    assert out[1][1] == out[4][1] == 8
+
+
+def test_bigram_score_min_count_and_no_forced_broadcast(spark):
+    """Floored model: dropped (count-1) bigrams score exactly 1; above
+    the cap the join must not carry a broadcast hint."""
+    from clinvar_ingest_spark.operators.lm_score import bigram_frequency_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d")], "doc_id long, text string"
+    )
+    base = {r["doc_id"]: r["bigram_score"]
+            for r in bigram_frequency_score(docs).collect()}
+    floored = {r["doc_id"]: r["bigram_score"]
+               for r in bigram_frequency_score(docs, min_count=2).collect()}
+    assert floored == base  # every dropped bigram truly occurs once
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        capped = bigram_frequency_score(docs, max_broadcast_model=1)
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert {r["doc_id"]: r["bigram_score"]
+                for r in capped.collect()} == base
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_lm_perplexity_orders_gibberish_last_and_is_partition_invariant(spark):
+    """Perplexity: repeated coherent docs score low, out-of-vocab
+    gibberish scores high; the row-local fold makes results identical
+    across partitionings (replay determinism)."""
+    from clinvar_ingest_spark.operators.lm_score import lm_perplexity
+
+    coherent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, coherent) for i in range(8)] + [
+        (100, "zq xv qj wk vx kz jq"),          # OOV gibberish
+        (101, "the cat sat on the mat"),        # in-model
+        (102, ""),                              # empty -> NULL ppl
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = {r["doc_id"]: (r["ppl"], r["n_toks"])
+            for r in lm_perplexity(docs).collect()}
+    assert out1[102][0] is None and out1[102][1] == 0
+    assert out1[100][0] > out1[101][0] > 0
+    assert out1[0][0] == out1[7][0]
+
+    out2 = {r["doc_id"]: (r["ppl"], r["n_toks"])
+            for r in lm_perplexity(docs.repartition(7)).collect()}
+    assert out1 == out2
+
+    # model-size guard
+    import pytest
+
+    with pytest.raises(ValueError, match="max_model_rows"):
+        lm_perplexity(docs, min_count=1, max_model_rows=2)
+
+
+def test_lm_queries_registered(spark):
+    """bigram_freq_score carries an exact oracle; lm_perplexity is the
+    documented rows-only exemption; neither uses row-at-a-time Python."""
+    import __spark_entry__ as e
+
+    assert "bigram_freq_score" in e.oracle_sql()
+    assert "lm_perplexity" in e.queries()
+    assert "lm_perplexity" not in e.oracle_sql()
+    df = e.queries()["bigram_freq_score"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -189,3 +189,45 @@ def test_warc_binary_segments_and_byte_lengths(spark):
     assert [(r["warc_uri"], r["payload"]) for r in rows] == [
         ("https://b/1", payload), ("https://b/2", "next"),
     ]
+
+
+def test_warc_gz_member_per_record_roundtrip(spark, tmp_path):
+    """Production .warc.gz layout: one gzip member per record. The
+    reader must walk members with a real decompressor and apply the
+    same length-driven framing — adversarial payloads (blank lines,
+    record mark, binary bytes) round-trip exactly."""
+    import gzip
+
+    from clinvar_ingest_spark.sources.warc import read_warc_gz
+
+    payloads = [
+        b"plain payload",
+        b"blank\r\n\r\nline and mark WARC/1.0\r\n inside",
+        "unicode € bytes".encode(),
+        bytes([0, 1, 2, 255, 254]),  # binary payload
+    ]
+    segdir = tmp_path / "segs"
+    segdir.mkdir()
+    for f in range(2):
+        with open(segdir / f"seg{f}.warc.gz", "wb") as fh:
+            for i, p in enumerate(payloads):
+                rec = (
+                    f"WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: https://s{f}/r{i}\r\n"
+                    f"WARC-Date: 2024-01-01T00:00:0{i}Z\r\n"
+                    f"Content-Length: {len(p)}\r\n\r\n"
+                ).encode() + p + b"\r\n\r\n"
+                fh.write(gzip.compress(rec))
+
+    rows = read_warc_gz(spark, str(segdir)).collect()
+    assert len(rows) == 2 * len(payloads)
+    got = {(r["warc_uri"], r["member_idx"]): bytes(r["payload"]) for r in rows}
+    for f in range(2):
+        for i, p in enumerate(payloads):
+            assert got[(f"https://s{f}/r{i}", i)] == p
+    # plan: Arrow-batched python, never row-at-a-time
+    plan = (
+        read_warc_gz(spark, str(segdir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan

@@ -99,4 +99,6 @@ def test_driver_window_membership_is_pinned():
     # every registered query has an oracle or is a documented exemption
     oracles = set(e.oracle_sql())
     no_oracle = set(e.queries()) - oracles
-    assert no_oracle <= {"multimodal_features"}, no_oracle
+    # lm_perplexity: row-local log-space floats, deterministic within
+    # the engine but not bit-portable across libms -> rows-only check
+    assert no_oracle <= {"multimodal_features", "lm_perplexity"}, no_oracle
