@@ -747,6 +747,81 @@ WHERE rank <= {k} ORDER BY query_id, rank
 
 _SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
 
+def _sql_ann_pq(m=4, n_codes=8, k=5, n_queries=5, dim=64) -> str:
+    """Unrolled DuckDB replay of pq_train(n_steps=0) + pq_encode +
+    pq_topk: per-subspace seed codebooks (id%n_codes means of the
+    sliced subvectors, 6dp), L2 argmin encode (ties to lowest code),
+    ADC scoring as cosine(query, concat of codebook entries)."""
+    d = dim // m
+    parts = []
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        parts.append(f"""
+ex{j} AS (
+  SELECT vec_id, unnest(embedding[{lo}:{hi}]::DOUBLE[]) AS val,
+         unnest(range(1, {d} + 1)) AS pos
+  FROM embeddings
+),
+seed{j} AS (
+  SELECT vec_id % {n_codes} AS code, pos, round(avg(val), 6) AS c
+  FROM ex{j} GROUP BY 1, 2
+),
+book{j} AS (
+  SELECT code, list(c ORDER BY pos) AS cent FROM seed{j} GROUP BY code
+),
+enc{j} AS (
+  SELECT vec_id, code FROM (
+    SELECT e.vec_id, b.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding[{lo}:{hi}]::DOUBLE[], b.cent)
+                      ASC, b.code ASC) AS rn
+    FROM embeddings e CROSS JOIN book{j} b) WHERE rn = 1
+)""")
+    joins = " ".join(
+        f"JOIN enc{j} e{j} USING (vec_id) JOIN book{j} b{j} ON e{j}.code = b{j}.code"
+        for j in range(m)
+    )
+    concat = " || ".join(f"b{j}.cent" for j in range(m))
+    return f"""
+WITH {",".join(parts)},
+recon AS (
+  SELECT vec_id, {concat} AS rv
+  FROM (SELECT DISTINCT vec_id FROM embeddings) v {joins}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], r.rv), 4)
+           AS adc_sim
+  FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, adc_sim AS cos_sim, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+_SQL_ANN_PQ = _sql_ann_pq()
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: per-subspace codebooks, shuffle-free
+    L2-literal encode (the corpus becomes m uint8 codes/vector — the
+    only representation that fits memory at 10^10 vectors), ADC top-k
+    as cosine against codebook reconstructions."""
+    from clinvar_ingest_spark.operators.ann import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, dim=64, k=5, m=4, n_codes=8).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ann_ivf_two_level(spark, sf_dir):
     """Two-level IVF ANN (the >10³-cell scale path): coarse assign via
     a 4-centroid literal argmax, fine assign via a NESTED literal
@@ -3277,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_overlap": q_array_overlap,
         "bigram_freq_score": q_bigram_freq_score,
         "lm_perplexity": q_lm_perplexity,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -3392,6 +3468,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "canonical_urls": _SQL_CANONICAL,
         "corpus_freq_score": _SQL_FREQ_SCORE,
         "bigram_freq_score": _SQL_BIGRAM_SCORE,
+        "ann_pq_topk": _SQL_ANN_PQ,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,

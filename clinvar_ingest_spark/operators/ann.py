@@ -454,3 +454,153 @@ def lsh_cosine_topk(
         F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
     )
     return _ranked(pairs, k)
+
+
+# ------------------------------------------------------------------ PQ
+def _l2(a, b):
+    """Euclidean distance of two double arrays (sequential fold — the
+    same left-to-right summation DuckDB's list_distance performs, so
+    the encode ordering is engine-portable)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_steps: int = 0,
+    sample_mod: int | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: the vector is split into ``m``
+    subspaces of ``dim/m`` dims and each subspace gets its own
+    ``n_codes``-entry codebook from the deterministic quantizer
+    (:func:`kmeans_centroids` on the sliced subvectors — seeds at
+    ``n_steps=0``, Lloyd-refined above).
+
+    PQ is the memory-scale ANN path: a 64-dim float32 vector (256 B)
+    becomes ``m`` uint8 codes (m bytes) — at 10^10 vectors the code
+    table fits where the raw vectors never will, and scoring touches
+    codes + a per-query lookup structure only."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_centroids(
+                sub, n_cells=n_codes, id_col=id_col, vec_col=vec_col,
+                n_steps=n_steps, sample_mod=sample_mod,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}) — nearest codebook entry per subspace
+    (L2, ties to the lowest code), computed against codebook LITERALS
+    in one narrow shuffle-free pass (plan-asserted): the encode of a
+    100-TB corpus runs at scan parallelism with zero exchanges."""
+    out = corpus.select(F.col(id_col), F.col(vec_col))
+    d_sub = len(books[0][0][1])
+    for j, book in enumerate(books):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in v]) for _c, v in book]
+        )
+        sub = F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+
+        def _dist_to(s):
+            # factory, NOT a default-arg lambda: pyspark treats any
+            # 2-arg HOF lambda as (element, index) and rebinds the
+            # default to the index column
+            return lambda c: _l2(s, c)
+
+        dists = F.transform(book_lit, _dist_to(sub))
+        out = out.withColumn(
+            f"code_{j}",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    return out.drop(vec_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_steps: int = 0,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each candidate is
+    scored as cosine(query, RECONSTRUCTION from its codebook entries).
+
+    Plan shape is the scale story: the corpus is represented by its
+    (id, codes) table; queries broadcast; the reconstruction is a
+    concat of codebook LITERALS indexed by code (``element_at``), so
+    scoring is one narrow pass over codes × broadcast-queries — no
+    shuffle of the corpus, no raw-vector reads. (A production ADC
+    precomputes the query×subspace×code lookup table once per query —
+    same arithmetic, m array-lookups per candidate; the literal
+    reconstruction here IS that table inlined into the plan.)"""
+    books = pq_train(
+        corpus, dim, m, n_codes, id_col, vec_col, n_steps, sample_mod
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    d_sub = dim // m
+    recon = F.concat(
+        *[
+            F.element_at(
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in v])
+                        for _c, v in books[j]
+                    ]
+                ),
+                F.col(f"code_{j}") + 1,
+            )
+            for j in range(m)
+        ]
+    )
+    pairs = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv"),
+                )
+            )
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), recon), 4).alias("cos_sim"),
+        )
+    )
+    return _ranked(pairs, k)

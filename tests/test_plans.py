@@ -269,3 +269,19 @@ def test_band_index_probe_pushes_literal_filter_and_files_sorted(spark, tmp_path
     probe = inc.pruned_index_probe(idx, doc_bands(delta))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "In(band_val" in plan or "band_val IN" in plan, plan[:2000]
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encode must run at scan parallelism: codebooks ride the plan
+    as literals, no Exchange, no Python — encoding 10^10 vectors is one
+    narrow pass."""
+    from clinvar_ingest_spark.operators.ann import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_train(emb, dim=64, m=4, n_codes=8)
+    plan = executed_plan(pq_encode(emb, books))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
