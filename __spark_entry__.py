@@ -822,6 +822,135 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def _sql_ann_ivf_pq(m=4, n_codes=8, k=5, n_queries=5, dim=64,
+                    n_cells=8, n_probe=2) -> str:
+    """Unrolled DuckDB replay of ivf_pq_topk: coarse seed cells →
+    cosine assignment → residuals → per-subspace residual codebooks →
+    L2 argmin encode → probe n_probe cells → ADC as cosine(query,
+    cell_centroid + residual reconstruction)."""
+    d = dim // m
+    sub = []
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        sub.append(f"""
+pseed{j} AS (
+  SELECT vec_id % {n_codes} AS code, pos, round(avg(rval), 6) AS c
+  FROM rex WHERE pos BETWEEN {lo} AND {hi} GROUP BY 1, 2
+),
+pbook{j} AS (
+  SELECT code, list(c ORDER BY pos) AS cent FROM pseed{j} GROUP BY code
+),
+penc{j} AS (
+  SELECT vec_id, code FROM (
+    SELECT r.vec_id, b.code,
+           row_number() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY list_distance(r.rv[{lo}:{hi}], b.cent) ASC,
+                      b.code ASC) AS rn
+    FROM res r CROSS JOIN pbook{j} b) WHERE rn = 1
+)""")
+    joins = " ".join(
+        f"JOIN penc{j} e{j} USING (vec_id) "
+        f"JOIN pbook{j} b{j} ON e{j}.code = b{j}.code"
+        for j in range(m)
+    )
+    concat = " || ".join(f"b{j}.cent" for j in range(m))
+    return f"""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+         unnest(range(1, {dim} + 1)) AS pos
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id % {n_cells} AS cell_id, pos, round(avg(val), 6) AS c
+  FROM ex GROUP BY 1, 2
+),
+cents0 AS (
+  SELECT cell_id, list(c ORDER BY pos) AS centroid FROM seed GROUP BY cell_id
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents0 c) WHERE rn = 1
+),
+rex AS (
+  SELECT t.vec_id, t.cell_id, t.pos, t.val - cx.c AS rval
+  FROM (SELECT a.vec_id, a.cell_id, unnest(a.embedding::DOUBLE[]) AS val,
+               unnest(range(1, {dim} + 1)) AS pos
+        FROM assigned a) t
+  JOIN (SELECT cell_id, unnest(centroid) AS c,
+               unnest(range(1, {dim} + 1)) AS pos
+        FROM cents0) cx
+    ON t.cell_id = cx.cell_id AND t.pos = cx.pos
+),
+res AS (
+  SELECT vec_id, cell_id, list(rval ORDER BY pos) AS rv
+  FROM rex GROUP BY 1, 2
+),{",".join(sub)},
+reconres AS (
+  SELECT v.vec_id, {concat} AS rr
+  FROM (SELECT DISTINCT vec_id FROM res) v {joins}
+),
+reconx AS (
+  SELECT r2.vec_id, a.cell_id, r2.pos, cx.c + r2.rv AS xval
+  FROM (SELECT vec_id, unnest(rr) AS rv,
+               unnest(range(1, {dim} + 1)) AS pos
+        FROM reconres) r2
+  JOIN assigned a USING (vec_id)
+  JOIN (SELECT cell_id, unnest(centroid) AS c,
+               unnest(range(1, {dim} + 1)) AS pos
+        FROM cents0) cx
+    ON a.cell_id = cx.cell_id AND r2.pos = cx.pos
+),
+recon AS (
+  SELECT vec_id, cell_id, list(xval ORDER BY pos) AS xv
+  FROM reconx GROUP BY 1, 2
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents0 c WHERE q.vec_id < {n_queries})
+  WHERE rn <= {n_probe}
+),
+pairs AS (
+  SELECT DISTINCT p.query_id, r.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv::DOUBLE[], r.xv), 4) AS cos_sim
+  FROM probes p JOIN recon r ON p.cell_id = r.cell_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+_SQL_ANN_IVF_PQ = _sql_ann_ivf_pq()
+
+
+def q_ann_ivf_pq(spark, sf_dir):
+    """Full IVF-PQ: coarse cells, product-quantized residuals, ADC over
+    probed cells — the billion-vector index shape; candidates are
+    represented by (cell_id, m codes) only."""
+    from clinvar_ingest_spark.operators.ann import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(emb, queries, dim=64, k=5, m=4, n_codes=8).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_ann_ivf_two_level(spark, sf_dir):
     """Two-level IVF ANN (the >10³-cell scale path): coarse assign via
     a 4-centroid literal argmax, fine assign via a NESTED literal
@@ -3353,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_freq_score": q_bigram_freq_score,
         "lm_perplexity": q_lm_perplexity,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq": q_ann_ivf_pq,
     }
 
 
@@ -3469,6 +3599,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "corpus_freq_score": _SQL_FREQ_SCORE,
         "bigram_freq_score": _SQL_BIGRAM_SCORE,
         "ann_pq_topk": _SQL_ANN_PQ,
+        "ann_ivf_pq": _SQL_ANN_IVF_PQ,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,
