@@ -808,6 +808,34 @@ WHERE rank <= {k} ORDER BY query_id, rank
 _SQL_ANN_PQ = _sql_ann_pq()
 
 
+def q_zorder_events(spark, sf_dir):
+    """Z-order (Morton) layout key over two event dimensions —
+    integer-exact bit interleaving, the multi-column row-group pruning
+    lever for compact(sort_by=[zorder_key(...)])."""
+    from clinvar_ingest_spark.functions.layout import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(
+            (F.col("user_id") % 256), (F.col("event_id") % 256), bits=8
+        ).alias("zkey"),
+    ).orderBy("event_id")
+
+
+def _sql_zorder() -> str:
+    from clinvar_ingest_spark.functions.layout import zorder_sql
+
+    return (
+        "SELECT event_id, "
+        + zorder_sql(["(user_id % 256)", "(event_id % 256)"], bits=8)
+        + " AS zkey FROM events ORDER BY event_id"
+    )
+
+
+_SQL_ZORDER = _sql_zorder()
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN: per-subspace codebooks, shuffle-free
     L2-literal encode (the corpus becomes m uint8 codes/vector — the
@@ -3483,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "zorder_events": q_zorder_events,
     }
 
 
@@ -3600,6 +3629,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "bigram_freq_score": _SQL_BIGRAM_SCORE,
         "ann_pq_topk": _SQL_ANN_PQ,
         "ann_ivf_pq": _SQL_ANN_IVF_PQ,
+        "zorder_events": _SQL_ZORDER,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,

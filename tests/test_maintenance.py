@@ -240,3 +240,39 @@ def test_compact_sort_by_orders_files_and_prunes(spark, tmp_path):
         assert urls == sorted(urls)  # file fully sorted
         checked += 1
     assert checked == 4
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Z-sorted files carry tight row-group stats on the interleaved
+    key: a zkey range filter is pushed to the scan, and the written
+    files are monotonic in zkey (the layout compact(sort_by=[zorder])
+    produces)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.layout import zorder_key
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    ).withColumn("zkey", zorder_key("x", "y", bits=6))
+    out = str(tmp_path / "z")
+    (df.repartition(2)
+       .sortWithinPartitions("zkey")
+       .write.mode("overwrite")
+       .option("parquet.block.size", 16 * 1024)
+       .parquet(out))
+    for f in glob.glob(f"{out}/*.parquet"):
+        vals = pq.read_table(f, columns=["zkey"])["zkey"].to_pylist()
+        assert vals == sorted(vals)
+    got = spark.read.parquet(out).filter(
+        (F.col("zkey") >= 100) & (F.col("zkey") < 200)
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(zkey,100)" in plan
+    # z-curve locality: both source dims are bounded within the range
+    rows = got.collect()
+    assert rows and all(r["x"] < 16 and r["y"] < 16 for r in rows)
