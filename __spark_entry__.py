@@ -808,6 +808,26 @@ WHERE rank <= {k} ORDER BY query_id, rank
 _SQL_ANN_PQ = _sql_ann_pq()
 
 
+def q_hll_distinct_users(spark, sf_dir):
+    """Portable HyperLogLog distinct-count: md5-derived registers
+    (exact integers, mergeable by max), integer harmonic-mean
+    denominator, one final float op — the 100-TB cardinality tool
+    whose 4 KB register table replaces a re-scan."""
+    from clinvar_ingest_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate(hll_registers(ev, "user_id"))
+
+
+def _sql_hll() -> str:
+    from clinvar_ingest_spark.operators.sketch import hll_sql
+
+    return hll_sql("user_id", "events")
+
+
+_SQL_HLL = _sql_hll()
+
+
 def q_zorder_events(spark, sf_dir):
     """Z-order (Morton) layout key over two event dimensions —
     integer-exact bit interleaving, the multi-column row-group pruning
@@ -3512,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivf_pq": q_ann_ivf_pq,
         "zorder_events": q_zorder_events,
+        "hll_distinct_users": q_hll_distinct_users,
     }
 
 
@@ -3630,6 +3651,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ann_pq_topk": _SQL_ANN_PQ,
         "ann_ivf_pq": _SQL_ANN_IVF_PQ,
         "zorder_events": _SQL_ZORDER,
+        "hll_distinct_users": _SQL_HLL,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,
