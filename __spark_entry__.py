@@ -2252,6 +2252,44 @@ def q_cdc_mor_state(spark, sf_dir):
     return _run_cdc(spark, sf_dir, n_batches=3, merge_mode="mor")
 
 
+def q_cdc_dml_state(spark, sf_dir):
+    """Row-level DML on the snapshot table (Iceberg CoW DELETE/UPDATE
+    analog): after the CDC replay, DELETE WHERE seq%13=0 and UPDATE
+    WHERE seq%7=1 — only matching buckets rewritten (manifest pruning),
+    history preserved. Oracle replays LWW then the same row edits."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    tbl.delete_where(F.col("seq") % 13 == 0)
+    tbl.update_where(
+        F.col("seq") % 7 == 1,
+        {"text": F.concat(F.col("text"), F.lit(" [edited]"))},
+    )
+    return tbl.read().select("url", "seq", "text").orderBy("url")
+
+
+_SQL_CDC_DML = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+)
+SELECT url, seq,
+       CASE WHEN seq % 7 = 1 THEN text || ' [edited]' ELSE text END AS text
+FROM winners
+WHERE rn = 1 AND op <> 'delete' AND seq % 13 <> 0
+ORDER BY url
+"""
+
+
 def q_cdc_domain_stats(spark, sf_dir):
     """Normalization fan-out (the reference's disassemble,
     variation_archive.py:1196-1225) through the INCREMENTAL refresh
@@ -3446,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_domain_stats": q_cdc_domain_stats,
         "cdc_curated_corpus": q_cdc_curated_corpus,
         "cdc_incremental_neardup": q_cdc_incremental_neardup,
+        "cdc_dml_state": q_cdc_dml_state,
         "snapshot_changes": q_snapshot_changes,
         "tree_disassemble": q_tree_disassemble,
         "event_time_windows": q_event_time_windows,
@@ -3468,7 +3507,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders": q_top_orders,
-        "min_cost_lineitems": q_min_cost_lineitems,
         "nation_pair_revenue": q_nation_pair_revenue,
         "top_supplier_revenue": q_top_supplier_revenue,
         # -- tier 4: scalar / normalization suite -----------------------
@@ -3496,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_decontamination": q_eval_decontamination,
         "canonical_urls": q_canonical_urls,
         # ============ driver correctness window ends here (50) =========
+        "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3652,6 +3691,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ann_ivf_pq": _SQL_ANN_IVF_PQ,
         "zorder_events": _SQL_ZORDER,
         "hll_distinct_users": _SQL_HLL,
+        "cdc_dml_state": _SQL_CDC_DML,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,

@@ -1174,6 +1174,87 @@ class SnapshotTable:
         )
         return CommitResult(sid, mp, fat, 0, 0, n, m.get("properties", {}))
 
+    def delete_where(self, predicate) -> CommitResult | None:
+        """Row-level DELETE (Iceberg copy-on-write DELETE analog): drop
+        live rows matching ``predicate`` by rewriting ONLY the buckets
+        that hold matches (one pruned scan finds them; every other
+        bucket is metadata-untouched). Administrative physical removal
+        — unlike a merge tombstone it leaves no marker, so a later
+        stale event CAN re-insert the key; use merge tombstones for
+        CDC-ordered deletion. Returns None when nothing matches."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        touched = sorted(
+            r[BUCKET_COL]
+            for r in self.read(snapshot=m)
+            .filter(predicate)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return None
+        keep = self.read(
+            buckets=touched, snapshot=m, include_deleted=True
+        ).filter(~F.coalesce(predicate, F.lit(False)))
+        return self._rewrite_buckets(m, touched, keep)
+
+    def update_where(self, predicate, assignments: dict) -> CommitResult | None:
+        """Row-level UPDATE (copy-on-write UPDATE analog): apply
+        ``assignments`` (col -> Column expression) to live rows
+        matching ``predicate``; buckets without matches are untouched.
+        Returns None when nothing matches."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        if self.key_col in assignments:
+            raise ValueError(
+                f"cannot update the bucketing key {self.key_col!r} in "
+                "place; delete + re-insert instead"
+            )
+        touched = sorted(
+            r[BUCKET_COL]
+            for r in self.read(snapshot=m)
+            .filter(predicate)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return None
+        df = self.read(buckets=touched, snapshot=m, include_deleted=True)
+        hit = F.coalesce(predicate, F.lit(False)) & ~F.coalesce(
+            F.col(DELETED_COL), F.lit(False)
+        )
+        for name, expr in assignments.items():
+            df = df.withColumn(name, F.when(hit, expr).otherwise(F.col(name)))
+        return self._rewrite_buckets(m, touched, df)
+
+    def _rewrite_buckets(self, m, touched, df) -> CommitResult:
+        """CoW-rewrite ``touched`` buckets with ``df``'s rows (which
+        must already carry BUCKET_COL and DELETED_COL), commit via CAS."""
+        target_schema = T.StructType.fromJson(m["schema"])
+        out_cols = [
+            f.name for f in target_schema.fields if f.name != BUCKET_COL
+        ]
+        new_files = self._write_buckets(
+            df.select(*out_cols, BUCKET_COL), m["snapshot_id"] + 1
+        )
+        buckets = {int(b): f for b, f in m["buckets"].items()}
+        for b in touched:
+            buckets[b] = new_files.get(b, [])
+        buckets = {b: f for b, f in buckets.items() if f}
+        n = _footer_rows([f for fs in buckets.values() for f in fs])
+        sid, mp = self._commit(
+            buckets, target_schema, dict(m.get("properties", {})),
+            m["snapshot_id"], {"n_rows": n},
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"),
+            parent_name=m["_name"],
+        )
+        return CommitResult(sid, mp, list(touched), 0, 0, n, m.get("properties", {}))
+
     def vacuum_tombstones(self, watermark_ts, ts_col: str = "warc_ts") -> CommitResult:
         """GC tombstones older than a watermark.
 

@@ -276,3 +276,65 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     # z-curve locality: both source dims are bounded within the range
     rows = got.collect()
     assert rows and all(r["x"] < 16 and r["y"] < 16 for r in rows)
+
+
+def test_delete_where_and_update_where(spark, tmp_path):
+    """Row-level DML (Iceberg CoW DELETE/UPDATE analog): only matching
+    buckets rewritten, non-matching buckets' files untouched, history
+    preserved for time travel."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 8).create(schema)
+    rows = [
+        (f"https://s/{i}", dt.datetime(2024, 1, 1), i, f"text {i}", "update")
+        for i in range(40)
+    ]
+    t.merge_upsert(spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, seq long, text string, op string"
+    ))
+    m_before = t.current_manifest()
+    sid0 = t.snapshot_id()
+
+    res = t.delete_where(F.col("seq") % 10 == 3)
+    assert res is not None and len(res.touched_buckets) < 8
+    state = {r["url"]: r["text"] for r in t.read().collect()}
+    assert len(state) == 36
+    assert all(int(u.rsplit("/", 1)[1]) % 10 != 3 for u in state)
+    # untouched buckets keep their exact files
+    m_after = t.current_manifest()
+    for b, files in m_before["buckets"].items():
+        if int(b) not in res.touched_buckets:
+            assert m_after["buckets"][b] == files
+
+    res2 = t.update_where(
+        F.col("seq") < 5, {"text": F.upper(F.col("text"))}
+    )
+    assert res2 is not None
+    state = {r["seq"]: r["text"] for r in t.read().collect()}
+    assert state[1] == "TEXT 1" and state[7] == "text 7"
+    assert len(state) == 36  # no rows gained/lost
+
+    # no-match DML is a no-op (no new snapshot)
+    sid = t.snapshot_id()
+    assert t.delete_where(F.col("seq") > 10**9) is None
+    assert t.snapshot_id() == sid
+
+    # time travel still sees the pre-DML state
+    assert t.read_at(sid0).count() == 40
+
+    # bucketing key is immutable in place
+    import pytest
+
+    with pytest.raises(ValueError, match="bucketing key"):
+        t.update_where(F.lit(True), {"url": F.lit("x")})

@@ -83,7 +83,7 @@ def test_driver_window_membership_is_pinned():
         # CDC lifecycle
         "cdc_pipeline_state", "cdc_resume_state", "cdc_mor_state",
         "cdc_schema_evolution", "cdc_compacted_state", "cdc_domain_stats",
-        "cdc_curated_corpus", "cdc_incremental_neardup",
+        "cdc_curated_corpus", "cdc_incremental_neardup", "cdc_dml_state",
         "snapshot_changes", "tree_disassemble", "event_time_windows",
         "stream_change_feed",
         # flagship LLM ops
