@@ -345,6 +345,128 @@ class SnapshotTable:
         """Time travel: read the table as of an older snapshot."""
         return self.read(snapshot=self.manifest_at(snapshot_id))
 
+    # ------------------------------------------------------------------ refs
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_refs.json")
+
+    def _read_refs(self) -> dict[str, int]:
+        try:
+            with open(self._refs_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag analog): ``read_ref(name)``
+        then time-travels to it regardless of later commits, and
+        ``vacuum_orphans(keep_snapshots=)`` never expires a tagged
+        snapshot's manifest. Written atomically (tempfile + replace)."""
+        sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+        self.manifest_at(sid)  # must exist on the committed chain
+        refs = self._read_refs()
+        refs[name] = sid
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+        return sid
+
+    def refs(self) -> dict[str, int]:
+        """All tags: name → snapshot_id."""
+        return self._read_refs()
+
+    def read_ref(self, name: str) -> DataFrame:
+        refs = self._read_refs()
+        if name not in refs:
+            raise ValueError(f"no tag {name!r} on {self.path}")
+        return self.read_at(refs[name])
+
+    def drop_ref(self, name: str) -> None:
+        refs = self._read_refs()
+        refs.pop(name, None)
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    # ------------------------------------------------------- metadata tables
+    def meta_snapshots(self) -> DataFrame:
+        """Iceberg ``table.snapshots`` analog: one row per committed
+        snapshot (id, parent, n_buckets_referenced, n_files, n_rows,
+        batch_id, global_hwm) — driver-built from the manifest chain
+        (metadata-sized), served as a DataFrame for SQL over ops state."""
+        rows = []
+        for name in self.history():
+            m = self._load_manifest(name)
+            props = m.get("properties", {})
+            files = [f for fs in m["buckets"].values() for f in fs]
+            rows.append(
+                {
+                    "snapshot_id": int(m["snapshot_id"]),
+                    "parent_id": m.get("parent_id"),
+                    "n_buckets": len(m["buckets"]),
+                    "n_files": len(files),
+                    "n_rows": int(
+                        m.get("stats", {}).get(
+                            "n_rows", m.get("stats", {}).get("n_rows_raw", -1)
+                        )
+                    ),
+                    "batch_id": int(props.get("batch_id", -1)),
+                    "global_hwm": int(props.get("global_hwm", -1)),
+                    "read_mode": m.get("read_mode", "plain"),
+                }
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, n_buckets int, n_files int, "
+            "n_rows long, batch_id long, global_hwm long, read_mode string",
+        )
+
+    def meta_files(self, snapshot: dict[str, Any] | None = None) -> DataFrame:
+        """Iceberg ``table.files`` analog: (bucket, path, n_rows,
+        size_bytes) of the current (or given) snapshot, row counts from
+        parquet footers — the input to maintenance policy decisions."""
+        import pyarrow.parquet as pq
+
+        m = snapshot or self.current_manifest()
+        rows = []
+        for b, fs in m["buckets"].items():
+            for f in fs:
+                try:
+                    nr = pq.ParquetFile(f).metadata.num_rows
+                    sz = os.path.getsize(f)
+                except OSError:
+                    nr, sz = -1, -1
+                rows.append(
+                    {"bucket": int(b), "path": f, "n_rows": nr,
+                     "size_bytes": sz}
+                )
+        return self.spark.createDataFrame(
+            rows, "bucket int, path string, n_rows long, size_bytes long"
+        )
+
+    # ---------------------------------------------------------- maintenance
+    def maintenance_tick(
+        self,
+        max_files_per_bucket: int = 4,
+        keep_snapshots: int | None = 20,
+        sort_by: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """One scheduled-maintenance pass (the Iceberg maintenance-job
+        trio, policy-driven): compact buckets that exceeded the file
+        cap (MoR deltas fatten buckets every batch), then expire old
+        snapshots + GC orphan files. Idempotent; call it on a timer or
+        every N batches — at 10^10 events unmaintained tables die of
+        file-count long before they die of bytes."""
+        report: dict[str, Any] = {"compacted": 0}
+        res = self.compact(
+            max_files_per_bucket=max_files_per_bucket, sort_by=sort_by
+        )
+        if res is not None:
+            report["compacted"] = len(res.touched_buckets)
+        report.update(self.vacuum_orphans(keep_snapshots=keep_snapshots))
+        return report
+
     # ------------------------------------------------------------------ lock
     _LOCK_TTL = 30.0  # break locks whose mtime is older than this
 
@@ -1297,7 +1419,19 @@ class SnapshotTable:
         try:
             chain = self.history()
             if keep_snapshots is not None and len(chain) > keep_snapshots:
-                cut = chain[-keep_snapshots:]
+                boundary = len(chain) - keep_snapshots
+                # tagged snapshots are retention roots: expiry never
+                # crosses the oldest tag (Iceberg ref-aware expiry)
+                tagged = set(self._read_refs().values())
+                if tagged:
+                    for i, name in enumerate(chain[:boundary]):
+                        if self._load_manifest(name)["snapshot_id"] in tagged:
+                            boundary = i
+                            break
+            else:
+                boundary = 0
+            if boundary > 0:
+                cut = chain[boundary:]
                 # re-link the oldest kept manifest as the new chain root;
                 # write-tempfile + os.replace so a crash mid-rewrite can
                 # never leave a truncated manifest (which would break
@@ -1310,7 +1444,7 @@ class SnapshotTable:
                 with os.fdopen(fd, "w") as f:
                     json.dump(root, f)
                 os.replace(tmp, os.path.join(self.path, _MANIFESTS, cut[0]))
-                for name in chain[: -keep_snapshots]:
+                for name in chain[:boundary]:
                     try:
                         os.unlink(os.path.join(self.path, _MANIFESTS, name))
                     except OSError:
