@@ -2290,6 +2290,53 @@ ORDER BY url
 """
 
 
+def q_cdc_rename_state(spark, sf_dir):
+    """Metadata-only column rename mid-stream (full schema evolution):
+    replay half the log, RENAME text->body (zero files rewritten),
+    replay the rest under the new name — reads resolve both epochs
+    from the write-snapshot hint in each file path."""
+    from clinvar_ingest_spark.sources import ChangeLogSource
+
+    tbl = _run_cdc(spark, sf_dir, n_batches=1, return_table=True,
+                   log_builder=lambda s, d: _events_as_change_log(s, d)
+                   .filter(F.col("seq") % 2 == 0))
+    tbl.rename_column("text", "body")
+    from clinvar_ingest_spark.functions.extract import extract_text
+
+    log = _events_as_change_log(spark, sf_dir).filter(
+        F.col("seq") % 2 == 1
+    ).withColumnRenamed("text", "body")
+    tbl.merge_upsert(
+        log.drop("part"),
+        post_merge_transform=lambda df: df.withColumn(
+            "body", F.coalesce(F.col("body"), extract_text("html"))
+        ),
+    )
+    return tbl.read().select("url", "seq", "body").orderBy("url")
+
+
+_SQL_CDC_RENAME = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+)
+SELECT url, seq, text AS body FROM winners
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY url
+"""
+
+
 def q_cdc_domain_stats(spark, sf_dir):
     """Normalization fan-out (the reference's disassemble,
     variation_archive.py:1196-1225) through the INCREMENTAL refresh
@@ -3566,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_movers_suppliers": q_fast_movers_suppliers,
         "top_customers_revenue": q_top_customers_revenue,
         "array_overlap": q_array_overlap,
+        "cdc_rename_state": q_cdc_rename_state,
         "bigram_freq_score": q_bigram_freq_score,
         "lm_perplexity": q_lm_perplexity,
         "ann_pq_topk": q_ann_pq_topk,
@@ -3692,6 +3740,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "zorder_events": _SQL_ZORDER,
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
+        "cdc_rename_state": _SQL_CDC_RENAME,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
         "pack_sequences": _SQL_PACK,

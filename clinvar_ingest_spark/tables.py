@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -236,10 +237,35 @@ class SnapshotTable:
             raise ValueError(f"table {self.path} does not exist")
         schema = T.StructType.fromJson(m["schema"])
         files = self._files(m, buckets)
+        renames = m.get("renames", [])
         if not files:
             df = self.spark.createDataFrame([], schema)
-        else:
+        elif not renames:
             df = self.spark.read.schema(schema).parquet(*files)
+        else:
+            # metadata-only renames: each file is read under the column
+            # names current AT ITS WRITE SNAPSHOT (parsed from the
+            # path's sNNNNNNNN hint) and renamed in the plan — grouped
+            # so the whole read stays O(#rename-epochs) scans, not
+            # O(#files)
+            groups: dict[tuple, tuple[T.StructType, list[str]]] = {}
+            for f in files:
+                ssch, pairs = self._schema_at_write(
+                    schema, renames, self._file_write_sid(f)
+                )
+                key = tuple(pairs)
+                if key not in groups:
+                    groups[key] = (ssch, [])
+                groups[key][1].append(f)
+            parts = []
+            for pairs, (ssch, fs) in groups.items():
+                d = self.spark.read.schema(ssch).parquet(*fs)
+                for stored, cur in pairs:
+                    d = d.withColumnRenamed(stored, cur)
+                parts.append(d.select(*schema.names))
+            df = parts[0]
+            for d in parts[1:]:
+                df = df.unionByName(d)
         if resolve and m.get("read_mode") == "lww":
             df = lww_dedup(
                 df,
@@ -344,6 +370,111 @@ class SnapshotTable:
     def read_at(self, snapshot_id: int) -> DataFrame:
         """Time travel: read the table as of an older snapshot."""
         return self.read(snapshot=self.manifest_at(snapshot_id))
+
+    # --------------------------------------------------- schema evolution
+    _PROTECTED_COLS = (BUCKET_COL, DELETED_COL)
+
+    def rename_column(self, old: str, new: str) -> CommitResult:
+        """METADATA-ONLY column rename (full Iceberg-style schema
+        evolution, not just additive): no data file is rewritten. Data
+        files keep whatever name was current when they were written;
+        the manifest records ``renames: [{sid, from, to}]`` and
+        :meth:`read` resolves each file's write-time name from the
+        snapshot hint embedded in its path (``.../sNNNNNNNN-*/...``) —
+        old files are read under the old name and renamed in the plan.
+        The bucketing key and internal columns cannot be renamed (the
+        key name feeds ``bucket_expr`` everywhere)."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        schema = T.StructType.fromJson(m["schema"])
+        if old == self.key_col or old in self._PROTECTED_COLS:
+            raise ValueError(f"cannot rename {old!r}")
+        if old not in schema.names:
+            raise ValueError(f"no column {old!r}")
+        if new in schema.names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in (m.get("order_cols") or []):
+            raise ValueError(f"cannot rename order column {old!r}")
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        log = list(m.get("renames", []))
+        log.append({"sid": m["snapshot_id"] + 1, "from": old, "to": new})
+        sid, mp = self._commit(
+            {int(b): list(f) for b, f in m["buckets"].items()},
+            new_schema, dict(m.get("properties", {})), m["snapshot_id"],
+            dict(m.get("stats", {})),
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"), parent_name=m["_name"],
+            schema_evolution={"renames": log},
+        )
+        return CommitResult(sid, mp, [], 0, 0,
+                            int(m.get("stats", {}).get("n_rows", -1)),
+                            m.get("properties", {}))
+
+    def drop_column(self, name: str) -> CommitResult:
+        """METADATA-ONLY column drop: the field leaves the schema, old
+        files' bytes are simply never read again. The name is recorded
+        in ``dropped`` and cannot be re-added by additive evolution —
+        re-adding it would resurrect stale bytes from pre-drop files."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        schema = T.StructType.fromJson(m["schema"])
+        if name == self.key_col or name in self._PROTECTED_COLS:
+            raise ValueError(f"cannot drop {name!r}")
+        if name in (m.get("order_cols") or []):
+            raise ValueError(f"cannot drop order column {name!r}")
+        if name not in schema.names:
+            raise ValueError(f"no column {name!r}")
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        dropped = list(m.get("dropped", []))
+        dropped.append(name)
+        sid, mp = self._commit(
+            {int(b): list(f) for b, f in m["buckets"].items()},
+            new_schema, dict(m.get("properties", {})), m["snapshot_id"],
+            dict(m.get("stats", {})),
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"), parent_name=m["_name"],
+            schema_evolution={"dropped": dropped},
+        )
+        return CommitResult(sid, mp, [], 0, 0,
+                            int(m.get("stats", {}).get("n_rows", -1)),
+                            m.get("properties", {}))
+
+    @staticmethod
+    def _file_write_sid(path: str) -> int:
+        mm = re.search(r"/s(\d{8})-", path)
+        return int(mm.group(1)) if mm else 0
+
+    def _schema_at_write(
+        self, schema: T.StructType, renames: list[dict], write_sid: int
+    ) -> tuple[T.StructType, list[tuple[str, str]]]:
+        """Undo renames newer than ``write_sid``: returns the schema
+        under which a file of that snapshot was written, plus the
+        (stored, current) pairs to rename after reading."""
+        names = {f.name: f.name for f in schema.fields}  # current -> stored
+        for r in reversed(renames):
+            if int(r["sid"]) > write_sid:
+                for cur, stored in names.items():
+                    if stored == r["to"]:
+                        names[cur] = r["from"]
+        pairs = [(stored, cur) for cur, stored in names.items() if stored != cur]
+        stored_schema = T.StructType(
+            [
+                T.StructField(names[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return stored_schema, pairs
 
     # ------------------------------------------------------------------ refs
     def _refs_path(self) -> str:
@@ -615,6 +746,7 @@ class SnapshotTable:
         read_mode: str = "plain",
         order_cols: list[str] | None = None,
         parent_name: str | None = None,
+        schema_evolution: dict[str, Any] | None = None,
     ) -> tuple[int, str]:
         """Commit = CAS on the pointer (Iceberg catalog analog).
 
@@ -629,6 +761,19 @@ class SnapshotTable:
         unreachable from the pointer chain and GC'd here."""
         os.makedirs(os.path.join(self.path, _MANIFESTS), exist_ok=True)
         sid = parent + 1
+        # schema-evolution log rides every manifest: copied forward from
+        # the parent here (single touch point) so rename/drop history
+        # survives merges, compactions, and DML without each caller
+        # threading it through
+        evo: dict[str, Any] = {}
+        if parent_name is not None:
+            try:
+                pm = self._load_manifest(parent_name)
+                for k in ("renames", "dropped"):
+                    if pm.get(k):
+                        evo[k] = pm[k]
+            except OSError:
+                pass
         manifest = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -643,6 +788,9 @@ class SnapshotTable:
         }
         if order_cols:
             manifest["order_cols"] = list(order_cols)
+        manifest.update(evo)
+        if schema_evolution:
+            manifest.update(schema_evolution)
         name = f"m-{sid:08d}-{uuid.uuid4().hex[:8]}.json"
         mpath = os.path.join(self.path, _MANIFESTS, name)
         lock = self._acquire_lock()
@@ -982,6 +1130,14 @@ class SnapshotTable:
             for f in batch.schema.fields
             if f.name not in target_schema.names and f.name != op_col
         ]
+        dropped = set(m.get("dropped", []))
+        for f in new_fields:
+            if f.name in dropped:
+                raise ValueError(
+                    f"column {f.name!r} was dropped from this table; "
+                    "re-adding it would resurrect stale bytes from "
+                    "pre-drop files — use a new column name"
+                )
         base_cols = [f.name for f in target_schema.fields if f.name != DELETED_COL]
         data_cols = base_cols + [f.name for f in new_fields]
         for f in target_schema.fields:

@@ -1,0 +1,83 @@
+"""Full schema evolution: metadata-only rename/drop (Iceberg-style,
+beyond the additive evolution the merge already does)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from clinvar_ingest_spark.tables import SnapshotTable
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def _batch(spark, lo, n, day, text_col="text"):
+    return spark.createDataFrame(
+        [(f"https://s/{lo+i}", dt.datetime(2024, 1, day), lo + i,
+          f"{text_col} {lo+i}", "en", "update") for i in range(n)],
+        f"url string, warc_ts timestamp, seq long, {text_col} string, "
+        "lang string, op string",
+    )
+
+
+def test_rename_is_metadata_only_and_read_resolves_epochs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(SCHEMA)
+    t.merge_upsert(_batch(spark, 0, 20, 1))
+    files_before = sorted(
+        f for fs in t.current_manifest()["buckets"].values() for f in fs
+    )
+    sid_pre = t.snapshot_id()
+
+    t.rename_column("text", "body")
+    # metadata-only: the data files are EXACTLY the same ones
+    files_after = sorted(
+        f for fs in t.current_manifest()["buckets"].values() for f in fs
+    )
+    assert files_after == files_before
+
+    # post-rename writes use the new name; reads resolve both epochs
+    t.merge_upsert(_batch(spark, 100, 10, 2, text_col="body"))
+    rows = {r["seq"]: r["body"] for r in t.read().collect()}
+    assert rows[5] == "text 5" and rows[105] == "body 105"
+    assert len(rows) == 30
+
+    # time travel BEFORE the rename serves the old column name
+    old_df = t.read_at(sid_pre)
+    assert "text" in old_df.columns and "body" not in old_df.columns
+
+    # chained rename survives compaction (compacted files carry the
+    # newest names; older epochs still resolve)
+    t.rename_column("body", "content")
+    t.compact()
+    rows = {r["seq"]: r["content"] for r in t.read().collect()}
+    assert rows[5] == "text 5" and len(rows) == 30
+
+    # guards
+    with pytest.raises(ValueError, match="cannot rename"):
+        t.rename_column("url", "u2")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("lang", "content")
+
+
+def test_drop_column_blocks_resurrection(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(SCHEMA)
+    t.merge_upsert(_batch(spark, 0, 10, 1))
+    t.drop_column("lang")
+    assert "lang" not in t.read().columns
+    # a batch re-introducing the dropped name must be refused: pre-drop
+    # files still hold bytes under that name and would resurface
+    with pytest.raises(ValueError, match="dropped"):
+        t.merge_upsert(_batch(spark, 50, 5, 2))
+    # a batch without the column flows normally
+    t.merge_upsert(
+        _batch(spark, 50, 5, 2).drop("lang")
+    )
+    assert t.read().count() == 15
+    with pytest.raises(ValueError, match="cannot drop"):
+        t.drop_column("url")
