@@ -319,6 +319,14 @@ class SnapshotTable:
         )
         a = self.read(buckets=changed, snapshot=ma).drop(BUCKET_COL, DELETED_COL)
         b = self.read(buckets=changed, snapshot=mb).drop(BUCKET_COL, DELETED_COL)
+        # renames between the snapshots: map the older side's columns
+        # forward (in log order) so a renamed column diffs as the SAME
+        # column, not as one dropped + one added; a rename-only commit
+        # touches no bucket files, so it correctly reports zero row
+        # changes
+        for r in mb.get("renames", []):
+            if from_id < int(r["sid"]) <= to_id and r["from"] in a.columns:
+                a = a.withColumnRenamed(r["from"], r["to"])
         # align schemas (additive evolution: fill the missing side with NULL)
         for f in b.schema.fields:
             if f.name not in a.columns:

@@ -81,3 +81,28 @@ def test_drop_column_blocks_resurrection(spark, tmp_path):
     assert t.read().count() == 15
     with pytest.raises(ValueError, match="cannot drop"):
         t.drop_column("url")
+
+
+def test_changes_between_across_rename(spark, tmp_path):
+    """A renamed column diffs as the SAME column across the rename
+    (older side mapped forward); a rename-only commit reports zero row
+    changes."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(SCHEMA)
+    t.merge_upsert(_batch(spark, 0, 10, 1))
+    sid0 = t.snapshot_id()
+    t.rename_column("text", "body")
+    sid1 = t.snapshot_id()
+    assert t.changes_between(sid0, sid1).count() == 0
+
+    t.merge_upsert(_batch(spark, 5, 10, 2, text_col="body"))
+    sid2 = t.snapshot_id()
+    ch = {r["url"]: r["change_op"] for r in t.changes_between(sid0, sid2).collect()}
+    assert sum(op == "insert" for op in ch.values()) == 5
+    assert sum(op == "update" for op in ch.values()) == 5
+    row = t.changes_between(sid0, sid2).filter(
+        "change_op = 'update'"
+    ).first()
+    # before/after both expose the CURRENT name for the renamed column
+    assert "body" in row["before"].asDict() and "body" in row["after"].asDict()
+    assert row["before"]["body"].startswith("text ")
+    assert row["after"]["body"].startswith("body ")
