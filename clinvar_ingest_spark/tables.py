@@ -137,7 +137,17 @@ class SnapshotTable:
 
     def current_manifest(self) -> dict[str, Any] | None:
         name = self._read_ptr()
-        return None if name is None else self._load_manifest(name)
+        if name is None:
+            return None
+        m = self._load_manifest(name)
+        # the MANIFEST owns the bucket count for an existing table: a
+        # caller constructing with a stale n_buckets (or the default)
+        # would otherwise bucket its batches differently than the
+        # stored layout — heal silently, constructor value only seeds
+        # create()/rebucket()
+        if int(m.get("n_buckets", self.n_buckets)) != self.n_buckets:
+            self.n_buckets = int(m["n_buckets"])
+        return m
 
     def snapshot_id(self) -> int:
         m = self.current_manifest()
@@ -378,6 +388,40 @@ class SnapshotTable:
     def read_at(self, snapshot_id: int) -> DataFrame:
         """Time travel: read the table as of an older snapshot."""
         return self.read(snapshot=self.manifest_at(snapshot_id))
+
+    def rebucket(self, new_n_buckets: int) -> CommitResult:
+        """Partition evolution: rewrite the whole table under a new
+        bucket count (the Iceberg partition-spec-evolution analog for a
+        bucketed layout — ours requires a rewrite because bucket id is
+        baked into file placement). The one-time full shuffle buys every
+        later merge finer write parallelism / smaller task state; MoR
+        deltas are folded in the process, so the result reads plain."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        if new_n_buckets == self.n_buckets:
+            raise ValueError(f"table already has {new_n_buckets} buckets")
+        df = self.read(include_deleted=True).drop(BUCKET_COL).withColumn(
+            BUCKET_COL, bucket_expr(self.key_col, new_n_buckets)
+        )
+        old_n = self.n_buckets
+        self.n_buckets = new_n_buckets
+        try:
+            new_files = self._write_buckets(df, m["snapshot_id"] + 1)
+            buckets = {b: f for b, f in new_files.items() if f}
+            n = _footer_rows([f for fs in buckets.values() for f in fs])
+            sid, mp = self._commit(
+                buckets, T.StructType.fromJson(m["schema"]),
+                dict(m.get("properties", {})), m["snapshot_id"],
+                {"n_rows": n}, read_mode="plain",
+                order_cols=m.get("order_cols"), parent_name=m["_name"],
+            )
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+        return CommitResult(
+            sid, mp, sorted(buckets), 0, 0, n, m.get("properties", {})
+        )
 
     # --------------------------------------------------- schema evolution
     _PROTECTED_COLS = (BUCKET_COL, DELETED_COL)

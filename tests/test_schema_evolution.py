@@ -106,3 +106,46 @@ def test_changes_between_across_rename(spark, tmp_path):
     assert "body" in row["before"].asDict() and "body" in row["after"].asDict()
     assert row["before"]["body"].startswith("text ")
     assert row["after"]["body"].startswith("body ")
+
+
+def test_rebucket_partition_evolution(spark, tmp_path):
+    """rebucket rewrites the table under a new bucket count; merges
+    after it bucket consistently (manifest owns n_buckets — a reader
+    constructed with a stale count heals from the manifest), tombstones
+    survive, time travel still serves the old layout."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(SCHEMA)
+    t.merge_upsert(_batch(spark, 0, 30, 1))
+    # one tombstone
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("https://s/3", dt.datetime(2024, 1, 2), 99, None, None,
+              "delete")],
+            "url string, warc_ts timestamp, seq long, text string, "
+            "lang string, op string",
+        )
+    )
+    sid_pre = t.snapshot_id()
+    t.rebucket(16)
+    assert t.n_buckets == 16
+    assert len(t.current_manifest()["buckets"]) <= 16
+    assert t.read().count() == 29
+    # tombstone survived the rewrite: a STALE late update stays dead
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("https://s/3", dt.datetime(2024, 1, 1), 3, "text 3", "en",
+              "update")],
+            "url string, warc_ts timestamp, seq long, text string, "
+            "lang string, op string",
+        )
+    )
+    assert t.read().filter("url = 'https://s/3'").count() == 0
+
+    # stale-constructed reader heals to the manifest's bucket count
+    t2 = SnapshotTable(spark, str(tmp_path / "t"), "url", 4)
+    t2.current_manifest()
+    assert t2.n_buckets == 16
+    t2.merge_upsert(_batch(spark, 100, 5, 3))
+    assert t2.read().count() == 34
+
+    # pre-rebucket time travel reads the old 4-bucket layout
+    assert t.read_at(sid_pre).count() == 29
