@@ -184,13 +184,15 @@ def corpus_frequency_score(
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     if min_count > 1:
         vocab = vocab.filter(F.col("c") >= min_count)
+    cached = None
     if max_broadcast_vocab is None:
         vocab = F.broadcast(vocab)
     else:
-        vocab = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+        vocab = cached
         if vocab.count() <= max_broadcast_vocab:
             vocab = F.broadcast(vocab)
-    return (
+    scored = (
         tok.join(vocab, "t", "left")
         .groupBy(id_col)
         .agg(
@@ -200,6 +202,14 @@ def corpus_frequency_score(
             F.count(F.lit(1)).alias("n_toks"),
         )
     )
+    if cached is not None:
+        # release the size-measurement cache once the broadcast
+        # decision is captured — cached DF blocks aren't GC-cleaned,
+        # so repeated calls would pin MEMORY_AND_DISK for the session;
+        # the scoring action recomputes the floored vocab from lineage
+        # (one extra aggregation pass), the accepted trade.
+        cached.unpersist(blocking=False)
+    return scored
 
 
 def pack_sequences(

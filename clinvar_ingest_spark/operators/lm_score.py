@@ -88,10 +88,12 @@ def bigram_frequency_score(
     model = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
     if min_count > 1:
         model = model.filter(F.col("c") >= min_count)
+    cached = None
     if max_broadcast_model is None:
         model = F.broadcast(model)
     else:
-        model = model.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = model.persist(StorageLevel.MEMORY_AND_DISK)
+        model = cached
         if model.count() <= max_broadcast_model:
             model = F.broadcast(model)
     scored = (
@@ -104,6 +106,14 @@ def bigram_frequency_score(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+    if cached is not None:
+        # release the size-measurement cache now that the broadcast
+        # decision is captured: cached DataFrame blocks are NOT
+        # GC-cleaned, so repeated calls would pin MEMORY_AND_DISK for
+        # the session. The scoring action recomputes the floored model
+        # from lineage (one extra aggregation pass) — the accepted
+        # trade for a leak-free operator.
+        cached.unpersist(blocking=False)
     # short docs (0-1 tokens) have no bigrams — emit them with score 0
     # so the output covers every input document
     shorts = docs.join(
@@ -148,9 +158,15 @@ def lm_perplexity(
     gate is :func:`bigram_frequency_score`.
 
     The model is collected to the driver and broadcast as plain dicts,
-    bounded by ``min_count`` + ``max_model_rows`` (raises if the
-    floored model still exceeds the cap — raise the floor, don't ship
-    an unbounded model to every executor)."""
+    bounded by ``min_count`` + ``max_model_rows`` applied to BOTH the
+    bigram and the unigram table (raises if either floored table still
+    exceeds the cap — raise the floor, don't ship an unbounded model to
+    every executor). Tokens dropped by the unigram floor degrade
+    gracefully through the existing +1 smoothing (``c(t)=0`` → the
+    unknown-token probability), and the smoothing denominator keeps the
+    EXACT corpus totals (``N`` tokens, ``V`` distinct) from a pair of
+    scalar aggregates, so flooring shifts only the dropped tail's
+    scores, never the normalization."""
     bg = _doc_bigrams(docs, id_col, text_col)
     uni = (
         docs.select(
@@ -164,6 +180,16 @@ def lm_perplexity(
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # exact normalization constants: two scalar aggregates, never a
+    # per-token collect — a web corpus has 10^8-10^9 distinct tokens
+    tot_row = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total = int(tot_row["n"] or 0)
+    vocab = int(tot_row["v"] or 0)
+    uni_counts = (
+        uni.filter(F.col("c") >= min_count) if min_count > 1 else uni
+    )
     bg_counts = (
         bg.groupBy("prev", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -175,10 +201,13 @@ def lm_perplexity(
             f"lm_perplexity: floored bigram model has {n_model} rows > "
             f"max_model_rows={max_model_rows}; raise min_count"
         )
-    uni_rows = uni.collect()
-    uni_c = {r["t"]: r["c"] for r in uni_rows}
-    total = sum(uni_c.values())
-    vocab = len(uni_c)
+    n_uni = uni_counts.count()
+    if n_uni > max_model_rows:
+        raise ValueError(
+            f"lm_perplexity: floored unigram model has {n_uni} rows > "
+            f"max_model_rows={max_model_rows}; raise min_count"
+        )
+    uni_c = {r["t"]: r["c"] for r in uni_counts.collect()}
     bg_c = {(r["prev"], r["tok"]): r["c"] for r in bg_counts.collect()}
 
     sc = docs.sparkSession.sparkContext

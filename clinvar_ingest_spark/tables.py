@@ -446,6 +446,18 @@ class SnapshotTable:
             raise ValueError(f"no column {old!r}")
         if new in schema.names:
             raise ValueError(f"column {new!r} already exists")
+        if new in {r["from"] for r in m.get("renames", [])}:
+            raise ValueError(
+                f"column name {new!r} is a historical rename source "
+                "on this table; reusing it would make pre-rename "
+                "files ambiguous — pick a fresh name"
+            )
+        if new in set(m.get("dropped", [])):
+            raise ValueError(
+                f"column name {new!r} was dropped from this table; "
+                "renaming onto it would resurrect stale bytes from "
+                "pre-drop files — pick a fresh name"
+            )
         if old in (m.get("order_cols") or []):
             raise ValueError(f"cannot rename order column {old!r}")
         new_schema = T.StructType(
@@ -504,8 +516,17 @@ class SnapshotTable:
 
     @staticmethod
     def _file_write_sid(path: str) -> int:
-        mm = re.search(r"/s(\d{8})-", path)
-        return int(mm.group(1)) if mm else 0
+        # Anchor to the segment directly under the table's data dir —
+        # a bare search would also match an s########- segment in the
+        # user's workdir path (e.g. /tmp/s20240101-run/tbl/...) and
+        # resolve every file to that bogus snapshot id.
+        mm = re.search(rf"/{_DATA}/s(\d{{8}})-[^/]*/", path)
+        if mm:
+            return int(mm.group(1))
+        # fallback for layouts without a /data/ component: take the
+        # LAST match, which is nearest the file and past any workdir
+        hits = re.findall(r"/s(\d{8})-", path)
+        return int(hits[-1]) if hits else 0
 
     def _schema_at_write(
         self, schema: T.StructType, renames: list[dict], write_sid: int
@@ -544,14 +565,23 @@ class SnapshotTable:
         then time-travels to it regardless of later commits, and
         ``vacuum_orphans(keep_snapshots=)`` never expires a tagged
         snapshot's manifest. Written atomically (tempfile + replace)."""
-        sid = self.snapshot_id() if snapshot_id is None else snapshot_id
-        self.manifest_at(sid)  # must exist on the committed chain
-        refs = self._read_refs()
-        refs[name] = sid
-        fd, tmp = tempfile.mkstemp(dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            json.dump(refs, f)
-        os.replace(tmp, self._refs_path())
+        # mutate refs under the table lock: concurrent tags would
+        # lose one in an unlocked read-modify-write, and a tag raced
+        # against vacuum_orphans expiry could validate its snapshot
+        # and then have it expired before the refs write lands
+        # (vacuum_orphans holds this same lock while reading refs).
+        lock = self._acquire_lock()
+        try:
+            sid = self.snapshot_id() if snapshot_id is None else snapshot_id
+            self.manifest_at(sid)  # must exist on the committed chain
+            refs = self._read_refs()
+            refs[name] = sid
+            fd, tmp = tempfile.mkstemp(dir=self.path)
+            with os.fdopen(fd, "w") as f:
+                json.dump(refs, f)
+            os.replace(tmp, self._refs_path())
+        finally:
+            self._release_lock(lock)
         return sid
 
     def refs(self) -> dict[str, int]:
@@ -565,12 +595,16 @@ class SnapshotTable:
         return self.read_at(refs[name])
 
     def drop_ref(self, name: str) -> None:
-        refs = self._read_refs()
-        refs.pop(name, None)
-        fd, tmp = tempfile.mkstemp(dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            json.dump(refs, f)
-        os.replace(tmp, self._refs_path())
+        lock = self._acquire_lock()
+        try:
+            refs = self._read_refs()
+            refs.pop(name, None)
+            fd, tmp = tempfile.mkstemp(dir=self.path)
+            with os.fdopen(fd, "w") as f:
+                json.dump(refs, f)
+            os.replace(tmp, self._refs_path())
+        finally:
+            self._release_lock(lock)
 
     # ------------------------------------------------------- metadata tables
     def meta_snapshots(self) -> DataFrame:
@@ -1183,12 +1217,27 @@ class SnapshotTable:
             if f.name not in target_schema.names and f.name != op_col
         ]
         dropped = set(m.get("dropped", []))
+        # historical rename SOURCES are just as poisonous as dropped
+        # names: surviving pre-rename files still store their bytes
+        # under the old name, so re-introducing it makes
+        # _schema_at_write map two current columns onto one stored
+        # name and every read of the snapshot fails with
+        # COLUMN_ALREADY_EXISTS (without field IDs, name reuse is
+        # unambiguous only if we forbid it).
+        renamed_from = {r["from"] for r in m.get("renames", [])}
         for f in new_fields:
             if f.name in dropped:
                 raise ValueError(
                     f"column {f.name!r} was dropped from this table; "
                     "re-adding it would resurrect stale bytes from "
                     "pre-drop files — use a new column name"
+                )
+            if f.name in renamed_from:
+                raise ValueError(
+                    f"column {f.name!r} is a historical rename source "
+                    "on this table; re-adding it would collide with "
+                    "pre-rename files' stored bytes — use a new "
+                    "column name"
                 )
         base_cols = [f.name for f in target_schema.fields if f.name != DELETED_COL]
         data_cols = base_cols + [f.name for f in new_fields]
@@ -1525,9 +1574,17 @@ class SnapshotTable:
         )
         if not touched:
             return None
+        # remove only LIVE matching rows: tombstones are kept even when
+        # their payload matches the predicate — they are LWW delete
+        # markers, and physically dropping them would let a late stale
+        # event resurrect the key (and would be inconsistent anyway,
+        # since buckets with only matching tombstones aren't touched).
+        live_match = F.coalesce(predicate, F.lit(False)) & ~F.coalesce(
+            F.col(DELETED_COL), F.lit(False)
+        )
         keep = self.read(
             buckets=touched, snapshot=m, include_deleted=True
-        ).filter(~F.coalesce(predicate, F.lit(False)))
+        ).filter(~live_match)
         return self._rewrite_buckets(m, touched, keep)
 
     def update_where(self, predicate, assignments: dict) -> CommitResult | None:

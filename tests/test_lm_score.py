@@ -97,6 +97,35 @@ def test_lm_perplexity_orders_gibberish_last_and_is_partition_invariant(spark):
         lm_perplexity(docs, min_count=1, max_model_rows=2)
 
 
+def test_lm_perplexity_unigram_model_is_bounded(spark):
+    """VERDICT r4 #1: the unigram table is floored by min_count and
+    gated by max_model_rows too — no unfloored corpus-wide token
+    collect to the driver. Single-token docs produce zero bigrams, so
+    the unigram gate is the one that must fire; and tokens dropped by
+    the floor still score via the +1 smoothing backoff."""
+    import pytest
+
+    from clinvar_ingest_spark.operators.lm_score import lm_perplexity
+
+    # 10 distinct single-token docs: bigram model empty, unigram=10
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(10)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="unigram"):
+        lm_perplexity(docs, min_count=1, max_model_rows=5)
+
+    # with min_count=2 every unigram is floored out (each appears once)
+    # -> model fits, every token scores through the smoothing backoff:
+    # identical unknown-token probability => identical ppl for 1-token
+    # docs, and exact N/V normalization keeps it finite and positive
+    out = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_perplexity(docs, min_count=2, max_model_rows=5).collect()
+    }
+    vals = set(out.values())
+    assert len(vals) == 1 and min(vals) > 0
+
+
 def test_lm_queries_registered(spark):
     """bigram_freq_score carries an exact oracle; lm_perplexity is the
     documented rows-only exemption; neither uses row-at-a-time Python."""

@@ -409,3 +409,46 @@ def test_tags_metadata_tables_and_maintenance_tick(spark, tmp_path):
     # state intact throughout: every batch rewrites urls 0..N-1, so
     # the LWW state is the last batch's 40 distinct urls
     assert t.read().count() == 40
+
+
+def test_delete_where_preserves_tombstones(spark, tmp_path):
+    """ADVICE r4: delete_where removes only LIVE matching rows —
+    tombstones whose payload matches the predicate are LWW delete
+    markers and must survive the rewrite, or a late stale event
+    resurrects the key."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(schema)
+    ddl = "url string, warc_ts timestamp, seq long, text string, op string"
+    t.merge_upsert(spark.createDataFrame(
+        [(f"https://s/{i}", dt.datetime(2024, 1, 2), i, f"text {i}", "update")
+         for i in range(10)], ddl,
+    ))
+    # tombstone url 3 via CDC delete (newer than the stored row)
+    t.merge_upsert(spark.createDataFrame(
+        [("https://s/3", dt.datetime(2024, 1, 3), 100, None, "delete")], ddl,
+    ))
+    # admin-delete everything with seq < 200 — predicate matches the
+    # tombstone's payload too, but only LIVE rows may be removed
+    res = t.delete_where(F.col("seq") < 200)
+    assert res is not None
+    assert t.read().count() == 0
+    # the tombstone is still there...
+    tomb = t.read(include_deleted=True).filter("url = 'https://s/3'")
+    assert tomb.count() == 1
+    # ...so a LATE STALE update (older warc_ts) stays dead
+    t.merge_upsert(spark.createDataFrame(
+        [("https://s/3", dt.datetime(2024, 1, 1), 3, "stale", "update")], ddl,
+    ))
+    assert t.read().filter("url = 'https://s/3'").count() == 0

@@ -149,3 +149,52 @@ def test_rebucket_partition_evolution(spark, tmp_path):
 
     # pre-rebucket time travel reads the old 4-bucket layout
     assert t.read_at(sid_pre).count() == 29
+
+
+def test_rename_source_names_cannot_be_reintroduced(spark, tmp_path):
+    """ADVICE r4 (high): after rename text->body, pre-rename files still
+    store bytes under 'text'. A later batch (or rename) re-introducing
+    'text' would make _schema_at_write map two current columns onto one
+    stored name — every read of the snapshot would then fail with
+    COLUMN_ALREADY_EXISTS. The commit must be refused up front, while
+    the table is still readable."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(SCHEMA)
+    t.merge_upsert(_batch(spark, 0, 10, 1))
+    t.rename_column("text", "body")
+
+    # additive evolution re-adding the historical source name: refused
+    src = _batch(spark, 50, 5, 2, text_col="body")
+    bad = src.withColumn("text", src["body"])
+    with pytest.raises(ValueError, match="rename source"):
+        t.merge_upsert(bad)
+    # renaming another column ONTO the historical source name: refused
+    with pytest.raises(ValueError, match="rename source"):
+        t.rename_column("lang", "text")
+    # renaming onto a dropped name: refused too
+    t.drop_column("lang")
+    with pytest.raises(ValueError, match="dropped"):
+        t.rename_column("body", "lang")
+    # table still fully readable after all refusals
+    assert t.read().count() == 10
+
+
+def test_file_write_sid_is_anchored_to_data_dir(spark, tmp_path):
+    """ADVICE r4: a workdir whose PATH contains an sNNNNNNNN- segment
+    must not hijack rename-epoch resolution for every data file."""
+    trap = tmp_path / "s20240101-run"
+    trap.mkdir()
+    t = SnapshotTable(spark, str(trap / "t"), "url", 4).create(SCHEMA)
+    t.merge_upsert(_batch(spark, 0, 10, 1))
+    # direct unit check: the trap segment is ignored, the data-dir
+    # segment wins
+    f = next(iter(
+        f for fs in t.current_manifest()["buckets"].values() for f in fs
+    ))
+    assert "s20240101-run" in f
+    assert t._file_write_sid(f) == t.snapshot_id()
+    # end-to-end: rename-epoch resolution still reads pre-rename files
+    # under their stored name
+    t.rename_column("text", "body")
+    t.merge_upsert(_batch(spark, 100, 5, 2, text_col="body"))
+    rows = {r["seq"]: r["body"] for r in t.read().collect()}
+    assert rows[5] == "text 5" and rows[104] == "body 104"
