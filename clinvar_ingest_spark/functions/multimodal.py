@@ -1,12 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Images/audio/video ride through the engine as ``binary`` columns with a
-typed metadata struct, processed by Arrow-batched ``mapInPandas`` — the
-same vectorized path as text extraction. The actual codec work (JPEG
-decode, resample, frame sampling) needs libs absent from this sandbox,
-so the decode step is STUBBED behind ``decode_stub`` with a
-deterministic byte-level feature extraction standing in; the Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested.
+Images (and other media) ride through the engine as ``binary`` columns
+with a typed feature struct, processed by Arrow-batched ``mapInPandas``
+— the same vectorized path as text extraction. PNG payloads get a REAL
+decode (pure-Python zlib inflate + scanline unfilter + palette
+expansion, :mod:`clinvar_ingest_spark.functions.png` — the sandbox has
+zlib even though it lacks PIL/libvips), emitting true width/height/
+channels and exact integer pixel stats. Non-PNG payloads fall back to
+byte-level features (kind='opaque'); a PNG-looking payload that fails
+to parse is reported as kind='corrupt' rather than failing the batch —
+at web scale some payloads are always broken, and a poison payload
+must not kill the partition.
+
+Formats beyond PNG (JPEG/audio/video frame sampling) still need codecs
+absent from this sandbox; they would slot into ``decode_media`` behind
+the same sniff-and-dispatch, keeping schema/partitioning unchanged.
 """
 
 from __future__ import annotations
@@ -15,29 +23,33 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from clinvar_ingest_spark.functions.png import PngError, decode_png
 
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("first_byte", T.IntegerType()),
         T.StructField("checksum64", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
     ]
 )
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def decode_stub(payload: bytes) -> dict:
-    """Deterministic stand-in for a real media decode.
-
-    Real implementation would be e.g. PIL/libjpeg frame decode +
-    resize + feature extraction; sandbox lacks the codecs, so we emit
-    byte-level features (size, first byte, additive checksum over the
-    first 64 bytes). Raise for the unimplemented real path::
-
-        raise NotImplementedError("image decode requires PIL/libvips")
-    """
+    """Byte-level features for opaque (non-image) payloads: size, first
+    byte, additive checksum over the first 64 bytes. Deterministic and
+    cheap — the metadata face of a payload whose codec isn't loaded."""
     return {
         "n_bytes": len(payload),
         "first_byte": payload[0] if payload else -1,
@@ -45,18 +57,65 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def decode_media(payload: bytes) -> dict:
+    """Sniff-and-dispatch media decode for one payload.
+
+    PNG magic → real decode (exact integer pixel stats: sum/min/max
+    over the reconstructed samples — integers so cross-engine oracles
+    are exact, no float folds). Anything else → byte-level features
+    with ``kind='opaque'``; unparseable PNG → ``kind='corrupt'`` (byte
+    features still populated, image fields null)."""
+    base = decode_stub(payload)
+    base.update(
+        {
+            "kind": "opaque",
+            "width": None,
+            "height": None,
+            "channels": None,
+            "px_sum": None,
+            "px_min": None,
+            "px_max": None,
+        }
+    )
+    if payload[:8] != _PNG_MAGIC:
+        return base
+    try:
+        img = decode_png(payload)
+    except PngError:
+        base["kind"] = "corrupt"
+        return base
+    import numpy as np
+
+    px = np.frombuffer(img["pixels"], dtype=np.uint8)
+    base.update(
+        {
+            "kind": "png",
+            "width": img["width"],
+            "height": img["height"],
+            "channels": img["channels"],
+            "px_sum": int(px.sum(dtype=np.int64)),
+            "px_min": int(px.min()) if px.size else None,
+            "px_max": int(px.max()) if px.size else None,
+        }
+    )
+    return base
+
+
 def extract_media_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches.
 
-    One pandas DataFrame per Arrow batch; vectorized per batch; output
-    schema fixed (FEATURE_SCHEMA) so downstream plans are stable."""
+    One pandas DataFrame per Arrow batch; the decode kernel runs per
+    payload inside the batch (pure CPU — Spark owns distribution and
+    the Arrow transfer); output schema fixed (FEATURE_SCHEMA) so
+    downstream plans are stable."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
         for pdf in batches:
-            feats = pdf[payload_col].map(decode_stub)
-            out = pd.DataFrame(list(feats))
+            feats = [decode_media(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats, columns=cols)
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
 

@@ -1,0 +1,133 @@
+"""Real multimodal decode: pure-Python PNG codec + Arrow plumbing."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from clinvar_ingest_spark.functions.png import (
+    PngError,
+    _SIG,
+    _chunk,
+    decode_png,
+    encode_png,
+)
+
+
+def test_png_roundtrip_all_filters_and_channel_counts():
+    """Heights >= 5 exercise every scanline filter (the fixture encoder
+    cycles filter type with the row index); channels 1..4 cover gray,
+    gray+alpha, RGB, RGBA."""
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for w, h in [(1, 1), (3, 7), (16, 9), (33, 12)]:
+            px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+            out = decode_png(encode_png(w, h, px, ch))
+            assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+            assert out["pixels"] == px
+
+
+def test_png_palette_expansion():
+    rng = np.random.default_rng(3)
+    w, h = 5, 4
+    idx = rng.integers(0, 4, size=w * h, dtype=np.uint8)
+    plte = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(idx[y * w : (y + 1) * w].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    blob = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    assert out["channels"] == 3
+    assert out["pixels"] == plte[idx].tobytes()
+
+
+def test_png_rejects_malformed_input():
+    good = encode_png(4, 4, bytes(range(16)), 1)
+    cases = [
+        good[:20],                      # truncated mid-IHDR
+        good[:8],                       # signature only
+        b"JPEG" + good,                 # bad signature
+        good[:-6] + b"\x00" + good[-5:],  # corrupted CRC tail
+    ]
+    for bad in cases:
+        with pytest.raises(PngError):
+            decode_png(bad)
+    # bad filter byte inside an otherwise valid stream
+    raw = b"\x09" + bytes(4)
+    blob = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="filter"):
+        decode_png(blob)
+    # 16-bit depth unsupported (honest refusal, not silent garbage)
+    blob = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" + bytes(4)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="bit depth"):
+        decode_png(blob)
+
+
+def test_decode_media_dispatch():
+    """Sniff-and-dispatch: PNG -> real decode, non-PNG -> opaque byte
+    features, PNG-magic-but-broken -> 'corrupt' (poison payloads must
+    not kill a partition at web scale)."""
+    from clinvar_ingest_spark.functions.multimodal import decode_media
+
+    good = encode_png(4, 4, bytes(range(16)), 1)
+    m = decode_media(good)
+    assert m["kind"] == "png"
+    assert (m["width"], m["height"], m["channels"]) == (4, 4, 1)
+    assert (m["px_sum"], m["px_min"], m["px_max"]) == (sum(range(16)), 0, 15)
+
+    m2 = decode_media(b"hello")
+    assert m2["kind"] == "opaque" and m2["width"] is None
+    assert m2["n_bytes"] == 5 and m2["first_byte"] == ord("h")
+
+    m3 = decode_media(_SIG + b"garbage")
+    assert m3["kind"] == "corrupt" and m3["px_sum"] is None
+    assert m3["n_bytes"] == len(_SIG + b"garbage")
+
+
+def test_extract_media_features_end_to_end(spark):
+    """Arrow-batched mapInPandas over mixed payloads: real PNGs decoded
+    (values verified against numpy ground truth), opaque and corrupt
+    rows classified — one plan, no per-row Python."""
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=6 * 5 * 3, dtype=np.uint8)
+    rows = [
+        (0, encode_png(6, 5, px.tobytes(), 3)),
+        (1, b"plain bytes"),
+        (2, _SIG + b"broken"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in extract_media_features(df).collect()}
+    assert got[0]["kind"] == "png"
+    assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (6, 5, 3)
+    assert got[0]["px_sum"] == int(px.sum(dtype=np.int64))
+    assert got[0]["px_min"] == int(px.min()) and got[0]["px_max"] == int(px.max())
+    assert got[1]["kind"] == "opaque" and got[2]["kind"] == "corrupt"
+    plan = (
+        extract_media_features(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
