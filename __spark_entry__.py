@@ -3617,8 +3617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_change_feed": q_stream_change_feed,
         "ndjson_roundtrip": q_ndjson_roundtrip,
         "synthetic_ids": q_synthetic_ids,
-        "clean_empty_tokens": q_clean_empty_tokens,
-        "to_json_rows": q_to_json_rows,
         # -- tier 2: LWW dedup + join operators -------------------------
         "lww_latest_event": q_lww_latest_event,
         "lww_latest_event_salted": q_lww_latest_event_salted,
@@ -3637,11 +3635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         # -- tier 4: scalar / normalization suite -----------------------
         "sanitize_date": q_sanitize_date,
-        "try_int_cast": q_try_int_cast,
-        "json_extract": q_json_extract,
-        "coalesce_oneof": q_coalesce_oneof,
-        "user_event_type_sets": q_user_event_type_sets,
-        "union_append": q_union_append,
         "event_type_stats": q_event_type_stats,
         # -- tier 5: flagship LLM-pipeline ops --------------------------
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -3659,7 +3652,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "eval_decontamination": q_eval_decontamination,
         "canonical_urls": q_canonical_urls,
+        # -- round-5 rotation (VERDICT r4 #4): never-driver-gated queries
+        # earn rows — rename evolution, PQ/IVF-PQ ANN, z-order, HLL, the
+        # bigram LM, and the now-REAL multimodal decode; the seven
+        # one-mechanism scalar gates they displace (to_json_rows,
+        # clean_empty_tokens, union_append, coalesce_oneof, try_int_cast,
+        # json_extract, user_event_type_sets) were each driver-green in
+        # r1-r4 and keep tools/check_oracle.py coverage
+        "cdc_rename_state": q_cdc_rename_state,
+        "bigram_freq_score": q_bigram_freq_score,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "zorder_events": q_zorder_events,
+        "hll_distinct_users": q_hll_distinct_users,
+        "multimodal_features": q_multimodal_features,
         # ============ driver correctness window ends here (50) =========
+        "clean_empty_tokens": q_clean_empty_tokens,
+        "to_json_rows": q_to_json_rows,
+        "try_int_cast": q_try_int_cast,
+        "json_extract": q_json_extract,
+        "coalesce_oneof": q_coalesce_oneof,
+        "user_event_type_sets": q_user_event_type_sets,
+        "union_append": q_union_append,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3683,7 +3697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_lsh_hyperplane": q_ann_lsh_hyperplane,
         "ann_quantized_topk": q_ann_quantized_topk,
-        "multimodal_features": q_multimodal_features,
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
         "corpus_freq_score": q_corpus_freq_score,
@@ -3692,13 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_movers_suppliers": q_fast_movers_suppliers,
         "top_customers_revenue": q_top_customers_revenue,
         "array_overlap": q_array_overlap,
-        "cdc_rename_state": q_cdc_rename_state,
-        "bigram_freq_score": q_bigram_freq_score,
         "lm_perplexity": q_lm_perplexity,
-        "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivf_pq": q_ann_ivf_pq,
-        "zorder_events": q_zorder_events,
-        "hll_distinct_users": q_hll_distinct_users,
     }
 
 

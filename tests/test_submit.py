@@ -93,6 +93,11 @@ def test_driver_window_membership_is_pinned():
         # round-4 rotation (first-ever driver rows)
         "warc_roundtrip", "ann_ivf_two_level", "pack_sequences",
         "eval_decontamination", "canonical_urls",
+        # round-5 rotation (first-ever driver rows): schema evolution,
+        # PQ/IVF-PQ ANN, z-order, HLL, bigram LM, real PNG decode
+        "cdc_rename_state", "bigram_freq_score", "ann_pq_topk",
+        "ann_ivf_pq", "zorder_events", "hll_distinct_users",
+        "multimodal_features",
     }
     missing = gate_critical - set(w)
     assert not missing, f"gate queries fell out of the driver window: {missing}"
