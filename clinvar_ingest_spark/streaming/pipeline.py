@@ -21,6 +21,7 @@ replay byte-for-byte (tested in tests/test_pipeline.py).
 from __future__ import annotations
 
 import os
+import tempfile
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -515,6 +516,96 @@ class IngestPipeline:
             if snap not in snaps:
                 problems.append(f"batch {batch_id}: snapshot {snap} missing")
         return {"ok": not problems, "problems": problems, "n_lineage_rows": len(rows)}
+
+    def verify_lineage_incremental(self) -> dict:
+        """O(new-batches) lineage audit (SCALE.md: "at scale it becomes
+        an incremental check of the last K batches" — this is that
+        check; :meth:`verify_lineage` stays the opt-in full audit).
+
+        A cursor sidecar (``_lineage/_audit_cursor.json``) records the
+        highest audited batch and the per-partition hi it left each
+        partition at. Each call reads ONLY the lineage files of batches
+        past the cursor (driver-side pyarrow, same as the writer —
+        metadata-scale, no Spark job), seeds the continuity check from
+        the cursor's per-part hi, verifies the new batches' snapshots
+        are committed, and re-checks the per-part HWM equality. The
+        cursor advances only on a clean audit, so a detected problem
+        keeps being reported until repaired. At 10^5 batches this is a
+        handful of tiny reads per call instead of a full-table scan."""
+        import json as _json
+
+        import pyarrow.parquet as _pq
+
+        root = f"{self.target.path}/_lineage"
+        cur_path = f"{root}/_audit_cursor.json"
+        cursor = {"audited_through_batch": -1, "last_hi": {}}
+        try:
+            with open(cur_path) as f:
+                cursor = _json.load(f)
+        except (OSError, ValueError):
+            pass
+        done = int(cursor["audited_through_batch"])
+        last_hi = {int(k): int(v) for k, v in cursor["last_hi"].items()}
+
+        new_bids: list[int] = []
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d.startswith("batch="):
+                    bid = int(d.split("=", 1)[1])
+                    if bid > done:
+                        new_bids.append(bid)
+        new_bids.sort()
+
+        problems: list[str] = []
+        snaps = set()
+        if new_bids:  # snapshot set only needed when there is new work
+            for name in self.target.history():
+                with open(f"{self.target.path}/_manifests/{name}") as f:
+                    snaps.add(_json.load(f)["snapshot_id"])
+        n_rows = 0
+        for bid in new_bids:
+            t = _pq.read_table(f"{root}/batch={bid}/part-0.parquet")
+            recs = sorted(t.to_pylist(), key=lambda r: (r["part"], r["seq_lo"]))
+            n_rows += len(recs)
+            for r in recs:
+                part, lo, hi = int(r["part"]), int(r["seq_lo"]), int(r["seq_hi"])
+                if lo <= last_hi.get(part, -1):
+                    problems.append(
+                        f"part {part}: range ({lo},{hi}] overlaps previous "
+                        f"hi={last_hi[part]} (batch {bid})"
+                    )
+                if hi < lo:
+                    problems.append(f"part {part}: inverted range ({lo},{hi}]")
+                if int(r["snapshot_id"]) not in snaps:
+                    problems.append(
+                        f"batch {bid}: snapshot {r['snapshot_id']} missing"
+                    )
+                last_hi[part] = max(hi, last_hi.get(part, -1))
+        hwm = self.checkpoints()
+        for part, hi in last_hi.items():
+            if hwm.get(str(part)) != hi:
+                problems.append(
+                    f"part {part}: lineage max {hi} != checkpoint HWM "
+                    f"{hwm.get(str(part))}"
+                )
+        ok = not problems
+        if ok and new_bids:
+            fd, tmp = tempfile.mkstemp(dir=self.target.path)
+            with os.fdopen(fd, "w") as f:
+                _json.dump(
+                    {
+                        "audited_through_batch": new_bids[-1],
+                        "last_hi": {str(k): v for k, v in last_hi.items()},
+                    },
+                    f,
+                )
+            os.replace(tmp, cur_path)
+        return {
+            "ok": ok,
+            "problems": problems,
+            "n_new_batches": len(new_bids),
+            "n_lineage_rows": n_rows,
+        }
 
     # ------------------------------------------------------------ reads
     def current_state(self) -> DataFrame:
