@@ -556,54 +556,128 @@ def pq_topk(
     vec_col: str = "embedding",
     n_steps: int = 0,
     sample_mod: int | None = None,
+    use_lut: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: each candidate is
     scored as cosine(query, RECONSTRUCTION from its codebook entries).
 
     Plan shape is the scale story: the corpus is represented by its
-    (id, codes) table; queries broadcast; the reconstruction is a
-    concat of codebook LITERALS indexed by code (``element_at``), so
-    scoring is one narrow pass over codes × broadcast-queries — no
-    shuffle of the corpus, no raw-vector reads. (A production ADC
-    precomputes the query×subspace×code lookup table once per query —
-    same arithmetic, m array-lookups per candidate; the literal
-    reconstruction here IS that table inlined into the plan.)"""
+    (id, codes) table; queries broadcast; no shuffle of the corpus, no
+    raw-vector reads. Two ADC flavors:
+
+    * ``use_lut=True`` (default, the production shape): the per-query
+      m×n_codes dot-product lookup table is precomputed ONCE per query
+      on the tiny broadcast side (``lut_j[c] = dot(q_j, book_j[c])``),
+      and the query-independent codebook-entry norms are plan literals
+      — each candidate costs m ``element_at`` adds for the numerator
+      plus m for the reconstruction norm, independent of ``d_sub``.
+      cosine(q, recon) decomposes exactly because the reconstruction
+      is a concat of per-subspace entries:
+      ``dot = Σ_j lut_j[code_j]``, ``|recon|² = Σ_j |book_j[code_j]|²``.
+    * ``use_lut=False``: the candidate's vector is reconstructed via
+      codebook literals and scored with the generic cosine — the same
+      arithmetic paying m·d_sub multiplies per candidate; kept for the
+      microbench comparison (tools/pq_adc_bench.py)."""
     books = pq_train(
         corpus, dim, m, n_codes, id_col, vec_col, n_steps, sample_mod
     )
     codes = pq_encode(corpus, books, id_col, vec_col)
     d_sub = dim // m
-    recon = F.concat(
-        *[
-            F.element_at(
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in v])
-                        for _c, v in books[j]
-                    ]
-                ),
-                F.col(f"code_{j}") + 1,
-            )
-            for j in range(m)
-        ]
-    )
-    pairs = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .crossJoin(
-            F.broadcast(
-                queries.select(
-                    F.col(id_col).alias("query_id"),
-                    F.col(vec_col).alias("qv"),
+    book_lits = [
+        F.array(
+            *[F.array(*[F.lit(float(x)) for x in v]) for _c, v in books[j]]
+        )
+        for j in range(m)
+    ]
+    if not use_lut:
+        recon = F.concat(
+            *[
+                F.element_at(book_lits[j], F.col(f"code_{j}") + 1)
+                for j in range(m)
+            ]
+        )
+        pairs = (
+            codes.withColumnRenamed(id_col, "neighbor_id")
+            .crossJoin(
+                F.broadcast(
+                    queries.select(
+                        F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"),
+                    )
                 )
             )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), recon), 4).alias("cos_sim"),
+            )
         )
+        return _ranked(pairs, k)
+
+    # --- ADC with a per-query LUT (computed on the broadcast side) ---
+    def _dot_to(s):
+        # factory, NOT a default-arg lambda (2-arg HOF lambda trap)
+        return lambda c: F.aggregate(
+            F.zip_with(s, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qsel = [F.col(id_col).alias("query_id")]
+    for j in range(m):
+        qsub = F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+        qsel.append(F.transform(book_lits[j], _dot_to(qsub)).alias(f"lut_{j}"))
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    qsel.append(qnorm.alias("qnorm"))
+    q_lut = queries.select(*qsel)
+
+    # query-independent: |book_j[c]|² as plan literals (same
+    # accumulation order as cosine()'s norm fold)
+    norm2_lits = [
+        F.array(
+            *[
+                F.lit(_fsum_sq(v))
+                for _c, v in books[j]
+            ]
+        )
+        for j in range(m)
+    ]
+    dot_expr = F.element_at(F.col("lut_0"), F.col("code_0") + 1)
+    rnorm2 = F.element_at(norm2_lits[0], F.col("code_0") + 1)
+    for j in range(1, m):
+        dot_expr = dot_expr + F.element_at(
+            F.col(f"lut_{j}"), F.col(f"code_{j}") + 1
+        )
+        rnorm2 = rnorm2 + F.element_at(norm2_lits[j], F.col(f"code_{j}") + 1)
+    pairs = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(q_lut))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), recon), 4).alias("cos_sim"),
+            F.round(
+                dot_expr / (F.col("qnorm") * F.sqrt(rnorm2)), 4
+            ).alias("cos_sim"),
         )
     )
     return _ranked(pairs, k)
+
+
+def _fsum_sq(v) -> float:
+    """Sequential double accumulation of Σx² — same within-subspace
+    fold order as cosine()'s norm aggregate (the cross-subspace
+    grouping differs from a whole-vector fold by O(ulp); the 4-dp
+    rounding both engines apply absorbs it)."""
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return acc
 
 
 def ivf_pq_topk(

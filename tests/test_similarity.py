@@ -328,3 +328,25 @@ def test_hll_sketch_accuracy_and_mergeability(spark):
     merged = sorted(map(tuple, hll_merge(a, b).collect()))
     whole = sorted(map(tuple, hll_registers(df, "v").collect()))
     assert merged == whole
+
+
+def test_pq_adc_lut_equals_reconstruction(spark):
+    """VERDICT r4 #7: the per-query LUT ADC (m element_at adds per
+    candidate) returns the same ranked output as literal
+    reconstruction + generic cosine, and the LUT arrays ride the
+    broadcast side of the candidate join."""
+    from clinvar_ingest_spark.operators.ann import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    lut = pq_topk(emb, q, dim=64, k=5, use_lut=True).orderBy(
+        "query_id", "rank"
+    )
+    recon = pq_topk(emb, q, dim=64, k=5, use_lut=False).orderBy(
+        "query_id", "rank"
+    )
+    assert [tuple(r) for r in lut.collect()] == [
+        tuple(r) for r in recon.collect()
+    ]
+    plan = lut._jdf.queryExecution().executedPlan().toString()
+    assert "lut_0" in plan and "BroadcastExchange" in plan
