@@ -214,11 +214,14 @@ ROCKSDB_STATE_CONF = {
 # provider upgrades, the RocksDB path (ROCKSDB_STATE_CONF) composes
 # unchanged.
 #
-# Environment note (honest): the transformWithState wire protocol is
-# protobuf-based; this sandbox ships no working ``google.protobuf``, so
-# the equivalence tests skip here (tests/test_stateful.py gates on
-# ``tws_available()``) and run anywhere protobuf is installed. The
-# applyInPandasWithState path remains the gate-enforced default.
+# Environment note: the transformWithState wire protocol is
+# protobuf-based. Where the real ``protobuf`` package is absent (this
+# sandbox), the engine activates its vendored clean-room mini runtime
+# (``clinvar_ingest_spark.vendor.ensure_protobuf``) and ships it to
+# python workers via ``addPyFile`` — the generated StateMessage_pb2
+# module runs unmodified on either runtime, so the equivalence tests
+# run everywhere. The applyInPandasWithState path remains the
+# gate-enforced default.
 
 
 class _LWWTracker(StatefulProcessor):
@@ -305,6 +308,25 @@ def lww_change_feed_tws(
 ) -> DataFrame:
     """:func:`lww_change_feed` on the transformWithState API — same
     input/output contract, same transitions, timer-based GC."""
+    from clinvar_ingest_spark.vendor import ensure_protobuf
+
+    if not ensure_protobuf(stream.sparkSession):
+        raise RuntimeError(
+            "transformWithState needs google.protobuf and the vendored "
+            "mini runtime could not be activated"
+        )
+    # transformWithState stores each state variable in its own column
+    # family — only the RocksDB provider supports that. The provider
+    # conf is read at query start, so set it here when the session is
+    # still on the default HDFS-backed provider (queries already
+    # running, and their checkpoints, are unaffected).
+    spark = stream.sparkSession
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        for k, v in ROCKSDB_STATE_CONF.items():
+            spark.conf.set(k, v)
     src = stream.select("url", "warc_ts", "seq", "op")
     if watermark is None:
         return src.groupBy("url").transformWithStateInPandas(
@@ -328,10 +350,9 @@ def lww_change_feed_tws(
 
 def tws_available() -> bool:
     """True when the transformWithState protobuf dependency is usable
-    (the API's state protocol imports google.protobuf at query start)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    (the API's state protocol imports google.protobuf at query start).
+    Activates the vendored mini runtime when nothing is installed, so
+    this is true everywhere the vendor tree ships."""
+    from clinvar_ingest_spark.vendor import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
