@@ -514,6 +514,92 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality gate (Rae et al. 2021, Table A1):
+    duplicate-word mass, duplicate-2gram mass, and most-common-word mass
+    per document, plus the keep/drop decision. One codegen projection —
+    no explode, no shuffle (the orderBy is presentation-only)."""
+    from clinvar_ingest_spark.functions.text import (
+        DUP_2GRAM_MAX,
+        TOP_WORD_MAX,
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = repetition_stats(F.col("text"))
+    out = d.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.col("s.n_words").alias("n_words"),
+        F.col("s.n_distinct_words").alias("n_distinct_words"),
+        F.col("s.n_2grams").alias("n_2grams"),
+        F.col("s.n_distinct_2grams").alias("n_distinct_2grams"),
+        F.col("s.top_word_count").alias("top_word_count"),
+    )
+    dup2 = F.round(
+        (F.col("n_2grams") - F.col("n_distinct_2grams"))
+        / F.greatest(F.col("n_2grams"), F.lit(1)),
+        6,
+    )
+    topw = F.round(
+        F.col("top_word_count") / F.greatest(F.col("n_words"), F.lit(1)), 6
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "n_2grams",
+        "n_distinct_2grams",
+        "top_word_count",
+        F.round(
+            (F.col("n_words") - F.col("n_distinct_words"))
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        dup2.alias("dup_2gram_frac"),
+        topw.alias("top_word_frac"),
+        ((dup2 <= DUP_2GRAM_MAX) & (topw <= TOP_WORD_MAX)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_chunk_dedup_docs(spark, sf_dir):
+    """CCNet-style corpus-level chunk dedup: each distinct 10-token
+    chunk survives only at its first corpus occurrence; documents are
+    reassembled from surviving chunks. Winner selection is a min-struct
+    aggregate (map-side combinable, hot-boilerplate-skew-immune), not a
+    window."""
+    from clinvar_ingest_spark.operators.curation import chunk_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dedup(d.select("doc_id", "text"), chunk_tokens=10).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_CHUNK_DEDUP = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i AS chunk_id,
+         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS chunk_text
+  FROM w, UNNEST(generate_series(0, CAST(floor((len(words)-1)/10) AS INT)))
+         AS t(i)
+),
+f AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS fp FROM ch),
+r AS (SELECT *, row_number() OVER (PARTITION BY fp
+                                   ORDER BY doc_id, chunk_id) AS rn FROM f),
+kept AS (SELECT doc_id, chunk_id, chunk_text FROM r WHERE rn = 1),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_dedup
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM f GROUP BY doc_id)
+SELECT tot.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept,
+       coalesce(text_dedup, '') AS text_dedup
+FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id
+"""
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact-content dedup: hash-groupBy, min-id survivor (map-side
     combinable — no window, robust to hot boilerplate content)."""
@@ -1848,6 +1934,49 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+    from clinvar_ingest_spark.functions.text import (
+        DUP_2GRAM_MAX,
+        TOP_WORD_MAX,
+    )
+
+    repetition = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, words,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(generate_series(1, len(words) - 1),
+                                  i -> words[i] || ' ' || words[i+1])
+              ELSE [] END AS grams
+  FROM w
+),
+c AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(list_distinct(words)) AS n_distinct_words,
+         len(grams) AS n_2grams,
+         len(list_distinct(grams)) AS n_distinct_2grams,
+         coalesce(list_max(list_transform(list_distinct(words),
+                  d -> len(list_filter(words, x -> x = d)))), 0)
+           AS top_word_count
+  FROM g
+)
+SELECT doc_id, n_words, n_distinct_words, n_2grams, n_distinct_2grams,
+       top_word_count,
+       round((n_words - n_distinct_words) / greatest(n_words, 1), 6)
+         AS dup_word_frac,
+       round((n_2grams - n_distinct_2grams) / greatest(n_2grams, 1), 6)
+         AS dup_2gram_frac,
+       round(top_word_count / greatest(n_words, 1), 6) AS top_word_frac,
+       (round((n_2grams - n_distinct_2grams) / greatest(n_2grams, 1), 6)
+          <= {DUP_2GRAM_MAX}
+        AND round(top_word_count / greatest(n_words, 1), 6)
+          <= {TOP_WORD_MAX}) AS keep
+FROM c ORDER BY doc_id
+"""
+
     en = STOPWORDS["en"]
     quality = f"""
 WITH f AS (
@@ -2072,6 +2201,7 @@ FROM r WHERE rn = 1 GROUP BY source ORDER BY source
 
     return {
         "doc_token_count": token_count,
+        "doc_repetition_stats": repetition,
         "doc_lang_id": langid,
         "dedup_keep_best": dedup_best,
         "corpus_curation_funnel": funnel,
@@ -3688,6 +3818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": q_quantity_percentiles,
         "returned_items": q_returned_items,
         "doc_token_count": q_doc_token_count,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3777,6 +3909,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
 """,
         **_sql_text_ops(),
         "doc_fingerprint": _SQL_FINGERPRINT,
+        "chunk_dedup_docs": _SQL_CHUNK_DEDUP,
         "exact_dedup_docs": _SQL_EXACT_DEDUP,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_bucketed": _SQL_ANN_LSH,

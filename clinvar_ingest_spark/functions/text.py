@@ -83,6 +83,69 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Gopher-style repetition gate thresholds (shared with the DuckDB
+# oracle). Chosen from the corpus distribution: dup-2gram median ~0.03
+# (p90 ~0.065), top-word ~0.10 — the gate drops the repetitive tail,
+# not everything.
+DUP_2GRAM_MAX = 0.04
+TOP_WORD_MAX = 0.10
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams over whitespace tokens.
+
+    Pure codegen (split/sequence/transform/slice) — no shuffle, no
+    Python. Documents shorter than ``n`` words yield an empty array
+    (``F.sequence`` with start>stop would count DOWN, so the guard is
+    load-bearing)."""
+    if n == 1:
+        return ws_tokens(text)
+    w = ws_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(text: Column) -> Column:
+    """Gopher-style repetition signals as one struct column.
+
+    Generalizes the repetition filters of Rae et al. 2021 ("Scaling
+    Language Models: ... Gopher", Table A1) to this engine's documents:
+
+    - ``n_words`` / ``n_distinct_words`` — duplicate-word mass,
+    - ``n_2grams`` / ``n_distinct_2grams`` — duplicate-2gram mass
+      (the "fraction of duplicate n-grams" family),
+    - ``top_word_count`` — occurrences of the most frequent word (the
+      "fraction of characters in most common word" family).
+
+    Everything is an exact integer computed WITHOUT exploding: distinct
+    counts via ``array_distinct`` and the mode via a
+    transform-over-distinct count, so the whole thing is one codegen
+    projection with zero shuffles — at 100 TB this runs at scan speed.
+    Ratios are left to the caller (exact-int division is
+    bit-deterministic in IEEE doubles, so both engines round alike).
+    """
+    w = ws_tokens(text)
+    g = word_ngrams(text, 2)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda d: F.size(F.filter(w, lambda x: x == d)),
+        )
+    )
+    return F.struct(
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.size(g).alias("n_2grams"),
+        F.size(F.array_distinct(g)).alias("n_distinct_2grams"),
+        F.coalesce(top, F.lit(0)).alias("top_word_count"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Stable content fingerprint: md5 of case/space-normalized text
     (rolling-hash analog that both engines compute identically)."""

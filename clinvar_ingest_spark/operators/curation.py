@@ -103,6 +103,66 @@ def chunk_documents(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-level chunk dedup (Wenzek et al. 2020): split
+    every document into fixed-size token chunks, keep each distinct
+    chunk ONLY at its first occurrence corpus-wide (lowest ``(doc_id,
+    chunk_id)``), and reassemble per-document text from the surviving
+    chunks. Web boilerplate (headers, nav bars, cookie banners) that
+    repeats across millions of pages is removed from all but one page
+    while unique prose survives.
+
+    Scale shape: the winner per chunk fingerprint is a ``min(struct)``
+    AGGREGATE, not a window — map-side combinable and immune to hot-key
+    skew (a cookie banner in 10^8 docs partially aggregates per
+    partition instead of sorting 10^8 rows in one window partition).
+    Survivors come back via a fingerprint equi-join (AQE handles any
+    residual skew), then one keyed shuffle per doc re-orders chunks.
+    Nothing quadratic, nothing driver-side.
+    """
+    chunks = chunk_documents(docs, chunk_tokens, id_col, text_col).select(
+        id_col, "chunk_id", "chunk_text", F.md5("chunk_text").alias("_fp")
+    )
+    winners = chunks.groupBy("_fp").agg(
+        F.min(F.struct(id_col, "chunk_id")).alias("_w"),
+        F.count(F.lit(1)).alias("_n_copies"),
+    )
+    kept = (
+        chunks.join(winners, "_fp")
+        .where(
+            (F.col(id_col) == F.col(f"_w.{id_col}"))
+            & (F.col("chunk_id") == F.col("_w.chunk_id"))
+        )
+        .select(id_col, "chunk_id", "chunk_text")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def flag_contaminated(
     train: DataFrame,
     eval_set: DataFrame,

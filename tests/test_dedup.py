@@ -246,3 +246,62 @@ def test_pack_sequences_shard_size_guard(spark):
     assert max(per_shard.values()) <= 10
     # n_shards doubled 2->4->8 (64/8 = 8 <= 10)
     assert len(per_shard) == 8
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """Corpus-level chunk dedup: a chunk repeated across docs survives
+    only at its lowest (doc_id, chunk_id); unique chunks all survive;
+    a doc whose every chunk is boilerplate rebuilds to empty text."""
+    from clinvar_ingest_spark.operators.curation import chunk_dedup
+
+    banner = " ".join(f"b{i}" for i in range(10))
+    prose1 = " ".join(f"p{i}" for i in range(10))
+    prose2 = " ".join(f"q{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, banner + " " + prose1),
+            (2, banner + " " + prose2),
+            (3, banner),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=10).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == banner + " " + prose1
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == prose2  # banner removed, order kept
+    assert out[3]["n_chunks"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_dedup"] == ""
+
+
+def test_chunk_dedup_intra_doc_repeat(spark):
+    """The same chunk twice INSIDE one doc keeps only the first copy."""
+    from clinvar_ingest_spark.operators.curation import chunk_dedup
+
+    c = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(7, c + " " + c)], "doc_id long, text string")
+    r = chunk_dedup(df, chunk_tokens=10).collect()[0]
+    assert (r["n_chunks"], r["n_kept"], r["text_dedup"]) == (2, 1, c)
+
+
+def test_repetition_stats_exact_counts(spark):
+    """Gopher repetition signals on a hand-computable doc."""
+    from clinvar_ingest_spark.functions.text import repetition_stats
+
+    # words: a a a b c  -> 5 words, 3 distinct, top 'a' x3
+    # 2grams: "a a","a a","a b","b c" -> 4 grams, 3 distinct
+    df = spark.createDataFrame([("a a a b c",), ("solo",)], "text string")
+    rows = [
+        r["s"].asDict()
+        for r in df.select(
+            repetition_stats(F.col("text")).alias("s")
+        ).collect()
+    ]
+    assert rows[0] == {
+        "n_words": 5,
+        "n_distinct_words": 3,
+        "n_2grams": 4,
+        "n_distinct_2grams": 3,
+        "top_word_count": 3,
+    }
+    assert rows[1]["n_2grams"] == 0 and rows[1]["top_word_count"] == 1
