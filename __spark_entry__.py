@@ -2499,6 +2499,90 @@ ORDER BY url
 """
 
 
+def q_cdc_merge_into_state(spark, sf_dir):
+    """General MERGE INTO against the CDC-replayed table (Iceberg/Delta
+    MERGE analog): one source with matched-delete (even user),
+    matched-update (text concat + seq bump), and not-matched-insert
+    clauses, bucket-pruned to source-key buckets. The oracle replays
+    LWW then the same three clauses in SQL."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    src_a = users.filter(F.col("user_id") % 5 == 0).select(
+        F.concat(
+            F.lit("https://d"), (F.col("user_id") % 7).cast("string"),
+            F.lit(".site/u"), F.col("user_id").cast("string"),
+        ).alias("url"),
+        F.lit("2021-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        (F.lit(900000) + F.col("user_id")).alias("seq"),
+        F.concat(F.lit("patch "), F.col("user_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    src_b = users.filter(F.col("user_id") % 5 == 2).select(
+        F.concat(
+            F.lit("https://new.site/p"), F.col("user_id").cast("string")
+        ).alias("url"),
+        F.lit("2021-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        (F.lit(800000) + F.col("user_id")).alias("seq"),
+        F.concat(F.lit("fresh "), F.col("user_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    tbl.merge_into(
+        src_a.unionByName(src_b),
+        when_matched_update={
+            "text": F.concat_ws("+", F.col("t.text"), F.col("s.text")),
+            "seq": F.col("s.seq"),
+        },
+        when_matched_delete=F.col("s.seq") % 2 == 0,
+    )
+    return tbl.read().select("url", "seq", "text").orderBy("url")
+
+
+_SQL_CDC_MERGE_INTO = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+state AS (SELECT url, seq, text FROM winners WHERE rn = 1 AND op <> 'delete'),
+src AS (
+  SELECT DISTINCT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         900000 + user_id AS seq,
+         'patch ' || CAST(user_id AS VARCHAR) AS text
+  FROM events WHERE user_id % 5 = 0
+  UNION ALL
+  SELECT DISTINCT 'https://new.site/p' || CAST(user_id AS VARCHAR) AS url,
+         800000 + user_id AS seq,
+         'fresh ' || CAST(user_id AS VARCHAR) AS text
+  FROM events WHERE user_id % 5 = 2
+),
+merged AS (
+  SELECT st.url, st.seq, st.text
+  FROM state st LEFT JOIN src ON st.url = src.url WHERE src.url IS NULL
+  UNION ALL
+  SELECT st.url, src.seq, st.text || '+' || src.text AS text
+  FROM state st JOIN src ON st.url = src.url WHERE src.seq % 2 <> 0
+  UNION ALL
+  SELECT src.url, src.seq, src.text
+  FROM src LEFT JOIN state st ON st.url = src.url WHERE st.url IS NULL
+)
+SELECT url, seq, text FROM merged ORDER BY url
+"""
+
+
 def q_cdc_rename_state(spark, sf_dir):
     """Metadata-only column rename mid-stream (full schema evolution):
     replay half the log, RENAME text->body (zero files rewritten),
@@ -3804,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce_oneof": q_coalesce_oneof,
         "user_event_type_sets": q_user_event_type_sets,
         "union_append": q_union_append,
+        "cdc_merge_into_state": q_cdc_merge_into_state,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -3959,6 +4044,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "zorder_events": _SQL_ZORDER,
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
+        "cdc_merge_into_state": _SQL_CDC_MERGE_INTO,
         "cdc_rename_state": _SQL_CDC_RENAME,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,

@@ -1618,6 +1618,122 @@ class SnapshotTable:
             df = df.withColumn(name, F.when(hit, expr).otherwise(F.col(name)))
         return self._rewrite_buckets(m, touched, df)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched_update: dict | None = None,
+        when_matched_delete=None,
+        when_not_matched_insert: bool = True,
+        validate_source_unique: bool = True,
+    ) -> CommitResult | None:
+        """General MERGE INTO (Iceberg/Delta MERGE analog), keyed by the
+        table's bucketing key:
+
+        - ``when_matched_update``: {target col -> Column} applied to
+          LIVE rows whose key appears in ``source``; expressions may
+          reference both sides via the ``t``/``s`` aliases
+          (``F.col("t.text")``, ``F.col("s.text")``).
+        - ``when_matched_delete``: Column predicate (or ``True``) —
+          matching live rows are physically removed. Evaluated BEFORE
+          the update clause (Delta clause-order semantics).
+        - ``when_not_matched_insert``: insert source rows whose key has
+          no live target row, taking target columns from source by
+          name (missing columns → NULL). A stored LWW tombstone for
+          the key is REPLACED by the insert — like all row-level DML
+          here this is an administrative edit that bypasses CDC
+          ordering; late stale events are fenced only by merge
+          tombstones, not by rows this writes.
+
+        Scale shape: source keys are bucketed with the table's own
+        ``bucket_expr``, so the rewrite touches ONLY buckets holding
+        source keys (pruned read; untouched buckets keep their exact
+        files); the match is one co-bucketed full-outer equi-join. The
+        only driver-side data is the touched-bucket list.
+
+        Returns None when the source is empty.
+        """
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        key = self.key_col
+        nb = int(m.get("n_buckets", self.n_buckets))
+        if validate_source_unique:
+            dup = (
+                source.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_into source has multiple rows for key "
+                    f"{dup[0][key]!r}; MERGE requires at most one "
+                    "source row per key"
+                )
+        src = source.withColumn(BUCKET_COL, bucket_expr(key, nb))
+        touched = sorted(
+            r[BUCKET_COL] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return None
+        target_schema = T.StructType.fromJson(m["schema"])
+        data_cols = [
+            f.name
+            for f in target_schema.fields
+            if f.name not in (BUCKET_COL,)
+        ]
+        src_cols = set(src.columns)
+        tgt = self.read(buckets=touched, snapshot=m, include_deleted=True)
+        j = tgt.alias("t").join(
+            src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+        )
+        stored = F.col(f"t.{key}").isNotNull()
+        live = stored & ~F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
+        has_src = F.col(f"s.{key}").isNotNull()
+        if when_matched_delete is True:
+            del_cond = F.lit(True)
+        elif when_matched_delete is None:
+            del_cond = F.lit(False)
+        else:
+            del_cond = when_matched_delete
+        delete_mask = live & has_src & F.coalesce(del_cond, F.lit(False))
+        update_mask = (
+            (live & has_src & ~delete_mask)
+            if when_matched_update
+            else F.lit(False)
+        )
+        insert_mask = (
+            (has_src & ~live) if when_not_matched_insert else F.lit(False)
+        )
+        upd = when_matched_update or {}
+        out = []
+        for f in target_schema.fields:
+            if f.name == DELETED_COL:
+                v = F.when(insert_mask, F.lit(False)).otherwise(
+                    F.col(f"t.{DELETED_COL}")
+                )
+            elif f.name == BUCKET_COL:
+                continue
+            else:
+                ins_v = (
+                    F.col(f"s.{f.name}")
+                    if f.name in src_cols
+                    else F.lit(None).cast(f.dataType)
+                )
+                v = F.when(insert_mask, ins_v)
+                if f.name in upd:
+                    v = v.when(update_mask, upd[f.name])
+                v = v.otherwise(F.col(f"t.{f.name}"))
+            out.append(v.alias(f.name))
+        out.append(
+            F.coalesce(
+                F.col(f"t.{BUCKET_COL}"), F.col(f"s.{BUCKET_COL}")
+            ).alias(BUCKET_COL)
+        )
+        result = j.filter(~delete_mask & (stored | insert_mask)).select(*out)
+        return self._rewrite_buckets(m, touched, result)
+
     def _rewrite_buckets(self, m, touched, df) -> CommitResult:
         """CoW-rewrite ``touched`` buckets with ``df``'s rows (which
         must already carry BUCKET_COL and DELETED_COL), commit via CAS."""

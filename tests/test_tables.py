@@ -178,3 +178,90 @@ def test_direct_writer_roundtrips_timestamps_and_binary(spark, tmp_table_dir):
         )
     )
     assert t.read().collect()[0]["text"] == "x"  # older ts lost LWW
+
+
+def test_merge_into_clauses(spark, tmp_table_dir):
+    """General MERGE INTO: matched-delete beats matched-update, update
+    expressions see both sides, unmatched source rows insert, and a
+    stored tombstone is replaced by the insert clause."""
+    import pytest
+
+    t = _mk(spark, tmp_table_dir)
+    t.merge_upsert(
+        _batch(
+            spark,
+            [
+                ("u1", TS, 1, "old1", "insert"),
+                ("u2", TS, 2, "old2", "insert"),
+                ("u3", TS, 3, "old3", "insert"),
+                ("u4", TS, 4, "old4", "delete"),  # stored tombstone
+            ],
+        )
+    )
+    src = spark.createDataFrame(
+        [
+            ("u1", TS, 10, "new1"),   # matched -> update
+            ("u2", TS, 11, "drop"),   # matched + delete predicate
+            ("u4", TS, 12, "back4"),  # tombstoned -> insert replaces
+            ("u9", TS, 13, "new9"),   # unmatched -> insert
+        ],
+        "url string, warc_ts timestamp, seq long, text string",
+    )
+    t.merge_into(
+        src,
+        when_matched_update={
+            "text": F.concat_ws("+", F.col("t.text"), F.col("s.text")),
+            "seq": F.col("s.seq"),
+        },
+        when_matched_delete=F.col("s.text") == "drop",
+    )
+    state = {
+        r["url"]: (r["seq"], r["text"])
+        for r in t.read().select("url", "seq", "text").collect()
+    }
+    assert state == {
+        "u1": (10, "old1+new1"),
+        "u3": (3, "old3"),
+        "u4": (12, "back4"),
+        "u9": (13, "new9"),
+    }
+    # duplicate source keys are refused
+    dup = src.union(src.limit(1))
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge_into(dup)
+
+
+def test_merge_into_prunes_buckets(spark, tmp_table_dir):
+    """Buckets holding no source key keep their exact files."""
+    t = _mk(spark, tmp_table_dir)
+    rows = [(f"u{i}", TS, i, f"v{i}", "insert") for i in range(40)]
+    t.merge_upsert(_batch(spark, rows))
+    before = {b: tuple(f) for b, f in t.current_manifest()["buckets"].items()}
+    src = spark.createDataFrame(
+        [("u1", TS, 99, "edit")],
+        "url string, warc_ts timestamp, seq long, text string",
+    )
+    res = t.merge_into(src, when_matched_update={"text": F.col("s.text")})
+    after = {b: tuple(f) for b, f in t.current_manifest()["buckets"].items()}
+    touched = set(str(b) for b in res.touched_buckets)
+    assert len(touched) == 1
+    for b, files in before.items():
+        if b not in touched:
+            assert after[b] == files  # untouched bucket: identical files
+    assert t.read().filter(F.col("url") == "u1").collect()[0]["text"] == "edit"
+
+
+def test_merge_into_insert_only_and_empty(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.merge_upsert(_batch(spark, [("u1", TS, 1, "v1", "insert")]))
+    empty = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, seq long, text string"
+    )
+    assert t.merge_into(empty) is None
+    src = spark.createDataFrame(
+        [("u1", TS, 5, "ignored"), ("u2", TS, 6, "v2")],
+        "url string, warc_ts timestamp, seq long, text string",
+    )
+    t.merge_into(src, when_not_matched_insert=True)  # no matched clauses
+    state = {r["url"]: r["text"] for r in t.read().collect()}
+    assert state == {"u1": "v1", "u2": "v2"}
