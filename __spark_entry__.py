@@ -3274,6 +3274,66 @@ def q_snapshot_changes(spark, sf_dir):
     )
 
 
+def q_cdc_change_feed_images(spark, sf_dir):
+    """Row-image change feed (Delta CDF analog) over the snapshot diff:
+    insert/delete yield one image, updates yield update_preimage +
+    update_postimage rows, all stamped with the commit version. Same
+    manifest-diff pruning as snapshot_changes; the explode into images
+    is map-side."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    return (
+        tbl.change_feed(1, 2)
+        .select("url", "_change_type", "_commit_version", "seq", "text")
+        .orderBy("url", "_change_type")
+    )
+
+
+_SQL_CDC_CHANGE_FEED = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM log_src
+),
+mid AS (SELECT max(seq) // 2 AS m FROM log),
+wa AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log WHERE seq <= (SELECT m FROM mid)
+),
+sa AS (SELECT url, seq, text FROM wa WHERE rn = 1 AND op <> 'delete'),
+wb AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+sb AS (SELECT url, seq, text FROM wb WHERE rn = 1 AND op <> 'delete'),
+d AS (
+  SELECT coalesce(sa.url, sb.url) AS url, sa.url AS u1, sb.url AS u2,
+         sa.seq AS seq1, sa.text AS t1, sb.seq AS seq2, sb.text AS t2
+  FROM sa FULL OUTER JOIN sb ON sa.url = sb.url
+  WHERE sa.url IS NULL OR sb.url IS NULL OR sa.seq <> sb.seq
+)
+SELECT url, 'insert' AS _change_type, 2 AS _commit_version,
+       seq2 AS seq, t2 AS text
+FROM d WHERE u1 IS NULL
+UNION ALL
+SELECT url, 'delete', 2, seq1, t1 FROM d WHERE u2 IS NULL
+UNION ALL
+SELECT url, 'update_preimage', 2, seq1, t1
+FROM d WHERE u1 IS NOT NULL AND u2 IS NOT NULL
+UNION ALL
+SELECT url, 'update_postimage', 2, seq2, t2
+FROM d WHERE u1 IS NOT NULL AND u2 IS NOT NULL
+ORDER BY url, _change_type
+""".replace("log_src", "events")
+
+
 _SQL_SNAPSHOT_CHANGES = """
 WITH log AS (
   SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
@@ -3889,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_type_sets": q_user_event_type_sets,
         "union_append": q_union_append,
         "cdc_merge_into_state": q_cdc_merge_into_state,
+        "cdc_change_feed_images": q_cdc_change_feed_images,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4045,6 +4106,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
         "cdc_merge_into_state": _SQL_CDC_MERGE_INTO,
+        "cdc_change_feed_images": _SQL_CDC_CHANGE_FEED,
         "cdc_rename_state": _SQL_CDC_RENAME,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,

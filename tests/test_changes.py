@@ -142,3 +142,39 @@ def test_changes_between_on_merge_on_read_table(spark, tmp_table_dir):
         r["url"]: r["change_op"] for r in t.changes_between(1, 2).collect()
     }
     assert got == {"u1": "update", "u2": "delete"}
+
+
+def test_change_feed_row_images(spark, tmp_table_dir):
+    """Delta-CDF shape: updates emit pre+post images, insert/delete one
+    image each, all stamped with the target commit version and
+    flattened to top-level row columns."""
+    t = SnapshotTable(spark, tmp_table_dir, "url", 8).create(SCHEMA)
+    t.merge_upsert(
+        _batch(
+            spark,
+            [
+                ("u1", TS, 1, "v1", "insert"),
+                ("u2", TS, 2, "v1", "insert"),
+                ("u3", TS, 3, "v1", "insert"),
+            ],
+        )
+    )  # snapshot 1
+    t.merge_upsert(
+        _batch(
+            spark,
+            [
+                ("u1", TS + dt.timedelta(1), 4, "v2", "update"),
+                ("u2", TS + dt.timedelta(1), 5, None, "delete"),
+                ("u4", TS, 6, "v1", "insert"),
+            ],
+        )
+    )  # snapshot 2
+    rows = t.change_feed(1, 2).collect()
+    assert all(r["_commit_version"] == 2 for r in rows)
+    got = {(r["url"], r["_change_type"]): (r["seq"], r["text"]) for r in rows}
+    assert got == {
+        ("u1", "update_preimage"): (1, "v1"),
+        ("u1", "update_postimage"): (4, "v2"),
+        ("u2", "delete"): (2, "v1"),
+        ("u4", "insert"): (6, "v1"),
+    }
