@@ -2499,6 +2499,97 @@ ORDER BY url
 """
 
 
+def _link_edges(spark, sf_dir):
+    """Deterministic synthetic hyperlink graph over 50 domain nodes,
+    derived from events so the DuckDB oracle can rebuild it exactly:
+    src = user_id mod 50, dst = (31·user_id + len(event_type)) mod 50,
+    self-loops dropped, distinct."""
+    ev = _t(spark, sf_dir, "events")
+    src = F.col("user_id") % 50
+    dst = (F.col("user_id") * 31 + F.length("event_type")) % 50
+    return (
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_SQL_LINK_EDGES = """
+  SELECT DISTINCT user_id % 50 AS src,
+         (user_id * 31 + length(event_type)) % 50 AS dst
+  FROM events
+  WHERE user_id % 50 <> (user_id * 31 + length(event_type)) % 50
+"""
+
+
+def q_link_graph_degrees(spark, sf_dir):
+    """Per-node out/in degree of the link graph (crawl-frontier stats):
+    two map-side-combinable aggregates + one full-outer join."""
+    from clinvar_ingest_spark.operators.graph import graph_degrees
+
+    return graph_degrees(_link_edges(spark, sf_dir)).orderBy("node")
+
+
+_SQL_LINK_DEGREES = f"""
+WITH e AS ({_SQL_LINK_EDGES}),
+o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(out_deg, 0) AS out_deg,
+       coalesce(in_deg, 0) AS in_deg
+FROM o FULL OUTER JOIN i ON o.node = i.node
+ORDER BY node
+"""
+
+
+def q_link_graph_pagerank(spark, sf_dir):
+    """5-iteration PageRank in exact integer fixed-point (10^12 mass
+    units, truncating division) — bit-identical across engines and
+    partitionings, so even the iterative ranks are value-hash-gated."""
+    from clinvar_ingest_spark.operators.graph import pagerank_fixed_point
+
+    return pagerank_fixed_point(_link_edges(spark, sf_dir), n_iter=5).orderBy(
+        "node"
+    )
+
+
+def _sql_pagerank(n_iter: int = 5) -> str:
+    from clinvar_ingest_spark.operators.graph import (
+        PR_DAMPING_DEN,
+        PR_DAMPING_NUM,
+        PR_SCALE,
+    )
+
+    parts = [
+        f"WITH e AS ({_SQL_LINK_EDGES}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT count(*) AS cnt FROM nodes),",
+        "ed AS (SELECT e.src, e.dst, o.od FROM e JOIN "
+        "(SELECT src, count(*) AS od FROM e GROUP BY src) o USING (src)),",
+        f"r0 AS (SELECT node, (SELECT {PR_SCALE} // cnt FROM nn) AS r "
+        "FROM nodes),",
+    ]
+    numer = (PR_DAMPING_DEN - PR_DAMPING_NUM) * PR_SCALE
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"s{i} AS (SELECT ed.dst AS node, "
+            f"CAST(sum(r.r // ed.od) AS BIGINT) AS m "
+            f"FROM ed JOIN r{i-1} r ON ed.src = r.node GROUP BY ed.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, "
+            f"(SELECT {numer} // ({PR_DAMPING_DEN} * cnt) FROM nn) "
+            f"+ ({PR_DAMPING_NUM} * coalesce(s{i}.m, 0)) // {PR_DAMPING_DEN} "
+            f"AS r FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{n_iter} "
+        "ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
 def q_cdc_merge_into_state(spark, sf_dir):
     """General MERGE INTO against the CDC-replayed table (Iceberg/Delta
     MERGE analog): one source with matched-delete (even user),
@@ -3950,6 +4041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_append": q_union_append,
         "cdc_merge_into_state": q_cdc_merge_into_state,
         "cdc_change_feed_images": q_cdc_change_feed_images,
+        "link_graph_degrees": q_link_graph_degrees,
+        "link_graph_pagerank": q_link_graph_pagerank,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4107,6 +4200,8 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_dml_state": _SQL_CDC_DML,
         "cdc_merge_into_state": _SQL_CDC_MERGE_INTO,
         "cdc_change_feed_images": _SQL_CDC_CHANGE_FEED,
+        "link_graph_degrees": _SQL_LINK_DEGREES,
+        "link_graph_pagerank": _sql_pagerank(),
         "cdc_rename_state": _SQL_CDC_RENAME,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,
