@@ -289,6 +289,148 @@ class SnapshotTable:
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return df
 
+    # -- bloom-filter file skipping (Parquet/Iceberg bloom sidecar
+    # analog): per-file blooms over chosen NON-key columns let point
+    # lookups skip files the bucket index can't (the bucket index only
+    # prunes on the bucketing key). 4096 bits / 3 hashes per file-column
+    # ≈ 1% fpp at ~420 distinct values per file; false positives only
+    # cost an extra file scan, never wrong results.
+    BLOOM_M = 4096
+    BLOOM_K = 3
+    _BLOOM_DIR = "_blooms"
+
+    def _bloom_path(self, snapshot_id: int) -> str:
+        return os.path.join(
+            self.path, self._BLOOM_DIR, f"s{snapshot_id:08d}.json"
+        )
+
+    @staticmethod
+    def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+        import hashlib
+
+        return [
+            int(
+                hashlib.md5(f"{value}:{i}".encode("utf-8")).hexdigest()[:8],
+                16,
+            )
+            % m
+            for i in range(k)
+        ]
+
+    def build_blooms(self, cols: list[str]) -> str:
+        """Build per-file bloom filters over ``cols`` for the CURRENT
+        snapshot and persist them as a sidecar keyed by snapshot id.
+
+        Scale shape: positions are computed in one distributed pass
+        (md5-derived, the same bytes the Python probe computes) and the
+        per-file bitset is folded INSIDE Spark as 64 bit_or'd words —
+        the driver receives exactly ``n_files × (m/64)`` longs, never
+        the positions. A production writer would fold the same words
+        into the Arrow write path; the sidecar keeps the layout
+        non-invasive and snapshot-scoped (a new commit simply has no
+        sidecar until the next build — pruning degrades to none,
+        correctness unaffected).
+        """
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        files = self._files(m)
+        out: dict[str, dict[str, list[int]]] = {c: {} for c in cols}
+        n_words = self.BLOOM_M // 64
+        if files:
+            df = self.spark.read.parquet(*files).withColumn(
+                "_f", F.input_file_name()
+            )
+            for c in cols:
+                s = F.col(c).cast("string")
+                pos = F.array(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(s, F.lit(f":{i}"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % self.BLOOM_M
+                        for i in range(self.BLOOM_K)
+                    ]
+                )
+                exploded = (
+                    df.filter(s.isNotNull())
+                    .select("_f", F.explode(pos).alias("_p"))
+                )
+                words = exploded.groupBy("_f").agg(
+                    *[
+                        F.coalesce(
+                            F.bit_or(
+                                F.when(
+                                    (F.col("_p") / 64).cast("int") == w,
+                                    F.expr(
+                                        "shiftleft(1L, "
+                                        "CAST(_p % 64 AS INT))"
+                                    ),
+                                )
+                            ),
+                            F.lit(0).cast("long"),
+                        ).alias(f"w{w}")
+                        for w in range(n_words)
+                    ]
+                )
+                for r in words.collect():
+                    name = os.path.basename(
+                        r["_f"].replace("file:", "")
+                    )
+                    out[c][name] = [int(r[f"w{w}"]) for w in range(n_words)]
+        os.makedirs(os.path.join(self.path, self._BLOOM_DIR), exist_ok=True)
+        path = self._bloom_path(m["snapshot_id"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"m": self.BLOOM_M, "k": self.BLOOM_K, "cols": out}, fh)
+        os.replace(tmp, path)
+        return path
+
+    def bloom_prune_buckets(self, col: str, value) -> list[int] | None:
+        """Buckets whose files MIGHT contain ``col == value`` per the
+        current snapshot's bloom sidecar; None when no sidecar covers
+        this snapshot+column (caller must scan everything). Driver-side
+        bitset math over the sidecar only — no Spark job."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        path = self._bloom_path(m["snapshot_id"])
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            side = json.load(fh)
+        blooms = side.get("cols", {}).get(col)
+        if blooms is None:
+            return None
+        pos = self._bloom_positions_py(value, side["m"], side["k"])
+        kept: list[int] = []
+        for b, fs in m["buckets"].items():
+            for f in fs:
+                words = blooms.get(os.path.basename(f))
+                if words is None:  # file unknown to sidecar: can't skip
+                    kept.append(int(b))
+                    break
+                if all(words[p // 64] & (1 << (p % 64)) for p in pos):
+                    kept.append(int(b))
+                    break
+        return sorted(kept)
+
+    def point_lookup(self, col: str, value) -> DataFrame:
+        """Equality lookup on a non-key column, bloom-pruned to the
+        buckets that might hold it (falls back to a full scan when no
+        sidecar exists). Key-column lookups should use the bucket index
+        instead — that prune is exact."""
+        buckets = self.bloom_prune_buckets(col, value)
+        if buckets is not None and not buckets:
+            return self.read(buckets=[-1]).limit(0)
+        return self.read(buckets=buckets).filter(
+            F.col(col).cast("string") == F.lit(str(value))
+        )
+
     def changes_between(
         self,
         from_id: int,
