@@ -894,6 +894,40 @@ WHERE rank <= {k} ORDER BY query_id, rank
 _SQL_ANN_PQ = _sql_ann_pq()
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: md5-slot counters (exact BIGINTs,
+    mergeable by sum — d·w counters replace a per-key count table at
+    100 TB), point estimates by min over d broadcast-joined cells,
+    reported next to the true counts (CMS only ever over-counts)."""
+    from clinvar_ingest_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id")
+    est = cms_estimate(counters, ev.distinct(), "user_id")
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    return (
+        est.join(true, "user_id")
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(25)
+    )
+
+
+def _sql_cms() -> str:
+    from clinvar_ingest_spark.operators.sketch import cms_sql
+
+    return f"""
+WITH base AS ({cms_sql("user_id", "events")}),
+t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id)
+SELECT base.user_id, cms_est, true_n
+FROM base JOIN t USING (user_id)
+ORDER BY cms_est DESC, user_id LIMIT 25
+"""
+
+
 def q_hll_distinct_users(spark, sf_dir):
     """Portable HyperLogLog distinct-count: md5-derived registers
     (exact integers, mergeable by max), integer harmonic-mean
@@ -4043,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed_images": q_cdc_change_feed_images,
         "link_graph_degrees": q_link_graph_degrees,
         "link_graph_pagerank": q_link_graph_pagerank,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4202,6 +4237,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_change_feed_images": _SQL_CDC_CHANGE_FEED,
         "link_graph_degrees": _SQL_LINK_DEGREES,
         "link_graph_pagerank": _sql_pagerank(),
+        "cms_heavy_hitters": _sql_cms(),
         "cdc_rename_state": _SQL_CDC_RENAME,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,

@@ -138,3 +138,118 @@ SELECT denom_hit + ({m} - n_buckets_hit) * (CAST(1 AS BIGINT) << {scale})
          AS estimate
 FROM agg
 """
+
+
+# -- Count-Min Sketch ----------------------------------------------------
+#
+# Same portability contract as the HLL above: md5-derived slots, exact
+# BIGINT counters, merge = elementwise SUM (associative/commutative →
+# map-side combinable, mergeable across partitions, tables, and days).
+# d*w counters replace a full per-key count table for heavy-hitter
+# queries; estimates only ever OVER-count (min over d rows), never
+# under — the property callers rely on for threshold filters.
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # counters per row
+
+
+def _cms_slot(c: Column, i: int, w: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(f"#{i}"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(w),
+    )
+
+
+def cms_counters(
+    df: DataFrame, col: Column | str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(row_i, slot, cnt) Count-Min counter table over the column's
+    values — one explode (×d, constant) + one map-side-combinable
+    aggregate. ~d·w BIGINTs regardless of input size."""
+    c = F.col(col) if isinstance(col, str) else col
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row_i"), _cms_slot(c, i, w).alias("slot"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"))
+        .select("cell.row_i", "cell.slot")
+        .groupBy("row_i", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*counters: DataFrame) -> DataFrame:
+    """Merge counter tables (days / partitions / tables): elementwise sum."""
+    out = counters[0]
+    for c in counters[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("row_i", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-estimate each key's count: min over its d counters.
+
+    ``keys`` is a (small) DataFrame of candidate keys; each key joins
+    to exactly d counter cells on (row_i, slot) — the counter table is
+    d·w rows, so Spark broadcasts it and the probe is map-side."""
+    c = F.col(col)
+    probes = keys.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        _cms_slot(c, i, w).alias("slot"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select(col, "cell.row_i", "cell.slot")
+    return (
+        probes.join(F.broadcast(counters), ["row_i", "slot"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_sql(col: str, table: str, d: int = CMS_D, w: int = CMS_W) -> str:
+    """DuckDB replay of cms_counters + cms_estimate over every distinct
+    key of ``table.col`` (oracle mirror, exact integers)."""
+    slots = ", ".join(
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR) || '#{i}'), 1, 15)) "
+        f"AS BIGINT) % {w} AS s{i}"
+        for i in range(d)
+    )
+    cell_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS row_i, s{i} AS slot FROM hv" for i in range(d)
+    )
+    probe_union = "\nUNION ALL\n".join(
+        f"SELECT {col}, {i} AS row_i, s{i} AS slot FROM keys" for i in range(d)
+    )
+    return f"""
+WITH hv AS (SELECT {col}, {slots} FROM {table}),
+counters AS (
+  SELECT row_i, slot, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({cell_union}) GROUP BY row_i, slot
+),
+keys AS (SELECT DISTINCT {col}, {slots} FROM {table}),
+probes AS ({probe_union})
+SELECT p.{col}, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+FROM probes p LEFT JOIN counters c USING (row_i, slot)
+GROUP BY p.{col}
+"""

@@ -350,3 +350,39 @@ def test_pq_adc_lut_equals_reconstruction(spark):
     ]
     plan = lut._jdf.queryExecution().executedPlan().toString()
     assert "lut_0" in plan and "BroadcastExchange" in plan
+
+
+def test_cms_overcounts_never_undercounts_and_merges(spark):
+    """Count-Min guarantees: est >= true for every key; merging two
+    day-sketches equals sketching the union; estimates are exact
+    integers."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows1 = [(i % 37,) for i in range(500)] + [(999,)] * 50
+    rows2 = [(i % 23,) for i in range(300)]
+    d1 = spark.createDataFrame(rows1, "v long")
+    d2 = spark.createDataFrame(rows2, "v long")
+    both = d1.union(d2)
+    keys = both.distinct()
+    true = {
+        r["v"]: r["n"]
+        for r in both.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est_union = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(cms_counters(both, "v"), keys, "v").collect()
+    }
+    assert all(est_union[k] >= true[k] for k in true)  # never undercount
+    assert est_union[999] >= 50  # heavy hitter visible
+    merged = cms_merge(cms_counters(d1, "v"), cms_counters(d2, "v"))
+    est_merged = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(merged, keys, "v").collect()
+    }
+    assert est_merged == est_union  # day-merge == union sketch
