@@ -2556,6 +2556,66 @@ _SQL_LINK_EDGES = """
 """
 
 
+def q_url_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist URL filtering with registrable-suffix semantics
+    (ads.example.com blocked by example.com): hosts explode into their
+    dot-suffixes and anti-join the broadcast blocklist — equi-join
+    scale, not a LIKE OR-chain."""
+    from clinvar_ingest_spark.operators.curation import filter_blocklisted
+
+    ev = _t(spark, sf_dir, "events")
+    sub = F.when(F.col("user_id") % 3 == 0, F.lit("sub.")).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("d"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".site/u"), F.col("user_id").cast("string"),
+    )
+    docs = ev.select(url.alias("url")).distinct()
+    bl = spark.createDataFrame(
+        [("d3.site",), ("sub.d1.site",)], "domain string"
+    )
+    return filter_blocklisted(docs, bl).orderBy("url")
+
+
+_SQL_URL_BLOCKLIST = """
+WITH u AS (
+  SELECT DISTINCT
+    'https://' || CASE WHEN user_id % 3 = 0 THEN 'sub.' ELSE '' END
+      || 'd' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+      || CAST(user_id AS VARCHAR) AS url,
+    CASE WHEN user_id % 3 = 0 THEN 'sub.' ELSE '' END
+      || 'd' || CAST(user_id % 7 AS VARCHAR) || '.site' AS host
+  FROM events
+)
+SELECT url FROM u
+WHERE NOT (host = 'd3.site' OR host LIKE '%.d3.site'
+        OR host = 'sub.d1.site' OR host LIKE '%.sub.d1.site')
+ORDER BY url
+"""
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val assignment: stable across
+    runs, partitionings, engines, and corpus growth (a doc never
+    migrates when neighbors are added) — unlike rand(seed) or
+    row-number slicing. Pure codegen."""
+    from clinvar_ingest_spark.operators.curation import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_split(d.select("doc_id"), "doc_id", 5).orderBy("doc_id")
+
+
+_SQL_TRAIN_VAL = """
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100 < 5
+            THEN 'val' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_link_graph_degrees(spark, sf_dir):
     """Per-node out/in degree of the link graph (crawl-frontier stats):
     two map-side-combinable aggregates + one full-outer join."""
@@ -4078,6 +4138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_degrees": q_link_graph_degrees,
         "link_graph_pagerank": q_link_graph_pagerank,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "url_blocklist_filter": q_url_blocklist_filter,
+        "train_val_split": q_train_val_split,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4238,6 +4300,8 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "link_graph_degrees": _SQL_LINK_DEGREES,
         "link_graph_pagerank": _sql_pagerank(),
         "cms_heavy_hitters": _sql_cms(),
+        "url_blocklist_filter": _SQL_URL_BLOCKLIST,
+        "train_val_split": _SQL_TRAIN_VAL,
         "cdc_rename_state": _SQL_CDC_RENAME,
         "ann_ivf_two_level": _SQL_ANN_IVF2,
         "warc_roundtrip": _SQL_WARC,

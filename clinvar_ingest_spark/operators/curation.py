@@ -163,6 +163,61 @@ def chunk_dedup(
     )
 
 
+def filter_blocklisted(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose URL host matches a domain blocklist entry by
+    REGISTRABLE-SUFFIX semantics (``ads.example.com`` is blocked by
+    ``example.com`` but not by ``ample.com``).
+
+    Scale shape: each row explodes its host into its dot-suffixes
+    (bounded by label count, ~4-6) and LEFT ANTI joins the blocklist on
+    exact suffix equality — a million-entry blocklist broadcasts or
+    shuffles as an equi-join, where the naive ``LIKE`` OR-chain is
+    O(rows × entries) and defeats every index. ``blocklist`` is a
+    single-column ``domain`` DataFrame.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    parts = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, F.size(parts)), "."),
+    )
+    blocked_urls = (
+        docs.select(F.col(url_col), F.explode(suffixes).alias("_sfx"))
+        .join(
+            F.broadcast(blocklist.select(F.col("domain").alias("_sfx"))),
+            "_sfx",
+        )
+        .select(url_col)
+    )
+    return docs.join(blocked_urls, url_col, "left_anti")
+
+
+def assign_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/validation split by content-stable hash:
+    ``md5(key) mod 100 < val_pct → 'val'``. Reproducible across runs,
+    partitionings, and engines (the oracle replays the same bytes), and
+    stable under corpus growth — a document never migrates between
+    splits when neighbors are added, unlike ``rand(seed)`` or
+    row-number slicing. Pure codegen projection."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return docs.withColumn(
+        "split",
+        F.when(F.pmod(h, F.lit(100)) < val_pct, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def flag_contaminated(
     train: DataFrame,
     eval_set: DataFrame,

@@ -305,3 +305,44 @@ def test_repetition_stats_exact_counts(spark):
         "top_word_count": 3,
     }
     assert rows[1]["n_2grams"] == 0 and rows[1]["top_word_count"] == 1
+
+
+def test_filter_blocklisted_suffix_semantics(spark):
+    """example.com blocks its subdomains but not lookalike suffixes."""
+    from clinvar_ingest_spark.operators.curation import filter_blocklisted
+
+    docs = spark.createDataFrame(
+        [
+            ("https://example.com/a",),
+            ("https://ads.example.com/b",),
+            ("https://deep.ads.example.com/c",),
+            ("https://notexample.com/d",),      # lookalike: kept
+            ("https://example.com.evil.io/e",), # suffix only in path of host: kept
+            ("https://safe.org/f",),
+        ],
+        "url string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept = sorted(r["url"] for r in filter_blocklisted(docs, bl).collect())
+    assert kept == [
+        "https://example.com.evil.io/e",
+        "https://notexample.com/d",
+        "https://safe.org/f",
+    ]
+
+
+def test_assign_split_deterministic_and_partition_invariant(spark):
+    from clinvar_ingest_spark.operators.curation import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r["doc_id"]: r["split"]
+         for r in assign_split(df.repartition(1)).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in assign_split(df.repartition(8)).collect()}
+    assert a == b
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 0 < n_val < 60  # ~5% of 400, loose bound
+    # growth stability: the same ids keep their split in a larger corpus
+    big = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
+    c = {r["doc_id"]: r["split"] for r in assign_split(big).collect()}
+    assert all(c[k] == v for k, v in a.items())
