@@ -50,6 +50,12 @@ BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
 
 
+class CheckViolation(ValueError):
+    """A batch (or the existing table, for add_check) fails a stored
+    CHECK constraint. Raised BEFORE anything is written — the commit
+    never happens, matching Delta constraint semantics."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed between our snapshot read and our commit.
 
@@ -1410,6 +1416,9 @@ class SnapshotTable:
         batch = batch.withColumn(
             BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)
         )
+        # CHECK constraints gate the incoming LIVE rows (tombstones are
+        # payload-free delete markers) before any write happens
+        self._enforce_checks(batch, F.col(op_col) != F.lit(delete_op))
 
         # --- additive schema evolution (from the batch's own columns) ---
         target_schema = T.StructType.fromJson(m["schema"])
@@ -1820,6 +1829,93 @@ class SnapshotTable:
             df = df.withColumn(name, F.when(hit, expr).otherwise(F.col(name)))
         return self._rewrite_buckets(m, touched, df)
 
+    # -- CHECK constraints (Delta ADD CONSTRAINT analog) ---------------
+    # Stored in table properties as ``check.<name> -> SQL expr`` so they
+    # version with the manifest chain (time travel shows which checks
+    # guarded which snapshot). SQL semantics: a row VIOLATES when the
+    # expression evaluates to FALSE; NULL passes. Enforced on ingest
+    # batches (merge_upsert) and merge_into sources BEFORE anything is
+    # written — one map-side aggregate over the incoming rows, cost ∝
+    # batch, never table.
+    _CHECK_PREFIX = "check."
+
+    def alter_properties(self, updates: dict[str, Any]) -> "CommitResult":
+        """Metadata-only commit: same buckets/schema, updated props."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        props = dict(m.get("properties", {}))
+        for k, v in updates.items():
+            if v is None:
+                props.pop(k, None)
+            else:
+                props[k] = v
+        buckets = {int(b): f for b, f in m["buckets"].items()}
+        sid, mp = self._commit(
+            buckets, T.StructType.fromJson(m["schema"]), props,
+            m["snapshot_id"], dict(m.get("stats", {"n_rows": 0})),
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"),
+            parent_name=m["_name"],
+        )
+        return CommitResult(
+            sid, mp, [], 0, 0, m.get("stats", {}).get("n_rows", 0), props
+        )
+
+    def add_check(self, name: str, expr_sql: str) -> "CommitResult":
+        """Register a CHECK constraint; existing LIVE rows must already
+        satisfy it (validated with one pruned scan, like Delta)."""
+        # fail fast on unparseable expressions
+        probe = self.read().limit(0)
+        probe.filter(F.expr(expr_sql)).schema  # raises on bad SQL
+        bad = (
+            self.read()
+            .filter(F.coalesce(~F.expr(expr_sql), F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise CheckViolation(
+                f"existing row violates check {name!r} ({expr_sql}): "
+                f"{bad[0].asDict()}"
+            )
+        return self.alter_properties({self._CHECK_PREFIX + name: expr_sql})
+
+    def drop_check(self, name: str) -> "CommitResult":
+        return self.alter_properties({self._CHECK_PREFIX + name: None})
+
+    def checks(self) -> dict[str, str]:
+        m = self.current_manifest() or {}
+        pre = self._CHECK_PREFIX
+        return {
+            k[len(pre):]: v
+            for k, v in m.get("properties", {}).items()
+            if k.startswith(pre)
+        }
+
+    def _enforce_checks(self, df: DataFrame, live_mask=None) -> None:
+        """Raise CheckViolation when any (live) row fails any stored
+        check. ONE aggregate pass computes every check's violation
+        count — map-side combinable, no shuffle beyond the final
+        scalar."""
+        checks = self.checks()
+        if not checks:
+            return
+        scoped = df.filter(live_mask) if live_mask is not None else df
+        aggs = [
+            F.sum(
+                F.coalesce(~F.expr(sql), F.lit(False)).cast("long")
+            ).alias(name)
+            for name, sql in checks.items()
+        ]
+        row = scoped.agg(*aggs).collect()[0]
+        violated = {n: int(row[n] or 0) for n in checks if row[n]}
+        if violated:
+            details = ", ".join(
+                f"{n} ({checks[n]}): {c} rows" for n, c in violated.items()
+            )
+            raise CheckViolation(f"batch violates checks — {details}")
+
     def merge_into(
         self,
         source: DataFrame,
@@ -1934,6 +2030,11 @@ class SnapshotTable:
             ).alias(BUCKET_COL)
         )
         result = j.filter(~delete_mask & (stored | insert_mask)).select(*out)
+        # checks validate the FINAL live rows of the touched buckets —
+        # update expressions and inserts both gated before the rewrite
+        self._enforce_checks(
+            result, ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
         return self._rewrite_buckets(m, touched, result)
 
     def _rewrite_buckets(self, m, touched, df) -> CommitResult:
