@@ -206,13 +206,20 @@ class SnapshotTable:
         in-flight manifest can be swept."""
         d = os.path.join(self.path, _MANIFESTS)
         reachable = set()
-        name: str | None = chain_head
-        while name is not None:
-            reachable.add(name)
-            m = self._load_manifest(name)
-            name = m.get("parent_name")
-            if name is None and "parent_name" not in m:
-                return  # legacy chain: can't prove orphan-ness, keep all
+        # staged (write-audit-publish) manifests are roots too: they are
+        # not on the pointer chain yet, but publish_staged will need them
+        heads = [chain_head] + list(self._read_staged().values())
+        for head in heads:
+            name: str | None = head
+            while name is not None and name not in reachable:
+                reachable.add(name)
+                try:
+                    m = self._load_manifest(name)
+                except OSError:
+                    break
+                name = m.get("parent_name")
+                if name is None and "parent_name" not in m:
+                    return  # legacy chain: can't prove orphan-ness, keep all
         for f in os.listdir(d):
             if f not in reachable:
                 try:
@@ -1041,8 +1048,17 @@ class SnapshotTable:
         order_cols: list[str] | None = None,
         parent_name: str | None = None,
         schema_evolution: dict[str, Any] | None = None,
+        stage_ref: str | None = None,
     ) -> tuple[int, str]:
         """Commit = CAS on the pointer (Iceberg catalog analog).
+
+        ``stage_ref``: write-audit-publish staging — the manifest is
+        written and registered under ``_staged.json[stage_ref]`` but
+        the pointer does NOT move; readers keep seeing the parent
+        snapshot until :meth:`publish_staged` swaps the pointer (after
+        the audit passes) or :meth:`abort_staged` discards it. The CAS
+        check still runs at stage time so the staged commit is planned
+        against the current state, and runs AGAIN at publish.
 
         The swap itself is atomic (``os.replace``); conflict detection
         makes it a compare-and-swap: under a short-lived lock file we
@@ -1098,14 +1114,93 @@ class SnapshotTable:
                 )
             with open(mpath, "w") as f:
                 json.dump(manifest, f)
-            fd, tmp = tempfile.mkstemp(dir=self.path)
-            with os.fdopen(fd, "w") as f:
-                f.write(name)
-            os.replace(tmp, self._ptr_path())  # the commit point
-            self._gc_orphan_manifests(name)
+            if stage_ref is not None:
+                staged = self._read_staged()
+                staged[stage_ref] = name
+                self._write_staged(staged)
+            else:
+                fd, tmp = tempfile.mkstemp(dir=self.path)
+                with os.fdopen(fd, "w") as f:
+                    f.write(name)
+                os.replace(tmp, self._ptr_path())  # the commit point
+                self._gc_orphan_manifests(name)
         finally:
             self._release_lock(lock)
         return sid, mpath
+
+    # -- write-audit-publish staging (Iceberg WAP analog) --------------
+    def _staged_path(self) -> str:
+        return os.path.join(self.path, "_staged.json")
+
+    def _read_staged(self) -> dict[str, str]:
+        try:
+            with open(self._staged_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _write_staged(self, staged: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(staged, f)
+        os.replace(tmp, self._staged_path())
+
+    def staged_refs(self) -> dict[str, str]:
+        return dict(self._read_staged())
+
+    def read_staged(self, ref: str) -> DataFrame:
+        """Read the staged snapshot (the audit step's view)."""
+        staged = self._read_staged()
+        if ref not in staged:
+            raise ValueError(f"no staged ref {ref!r}")
+        return self.read(snapshot=self._load_manifest(staged[ref]))
+
+    def publish_staged(self, ref: str) -> int:
+        """Audit passed: atomically make the staged snapshot current.
+        CAS semantics — fails with :class:`CommitConflictError` if the
+        table advanced since the stage was planned (the staged merge
+        would silently drop the interleaved commit's rows; re-stage
+        against the new state instead)."""
+        lock = self._acquire_lock()
+        try:
+            staged = self._read_staged()
+            if ref not in staged:
+                raise ValueError(f"no staged ref {ref!r}")
+            name = staged.pop(ref)
+            man = self._load_manifest(name)
+            current = self._read_ptr()
+            if current != man.get("parent_name"):
+                raise CommitConflictError(
+                    f"staged ref {ref!r} was planned against "
+                    f"{man.get('parent_name')!r} but the pointer now "
+                    f"names {current!r} — abort and re-stage"
+                )
+            fd, tmp = tempfile.mkstemp(dir=self.path)
+            with os.fdopen(fd, "w") as f:
+                f.write(name)
+            os.replace(tmp, self._ptr_path())
+            self._write_staged(staged)
+            self._gc_orphan_manifests(name)
+            return man["snapshot_id"]
+        finally:
+            self._release_lock(lock)
+
+    def abort_staged(self, ref: str) -> None:
+        """Audit failed: discard the staged manifest (its data files
+        become orphans; vacuum_orphans sweeps them)."""
+        lock = self._acquire_lock()
+        try:
+            staged = self._read_staged()
+            if ref not in staged:
+                raise ValueError(f"no staged ref {ref!r}")
+            name = staged.pop(ref)
+            self._write_staged(staged)
+            try:
+                os.unlink(os.path.join(self.path, _MANIFESTS, name))
+            except OSError:
+                pass
+        finally:
+            self._release_lock(lock)
 
     def create(self, schema: T.StructType, properties: dict[str, Any] | None = None):
         if self.exists():
@@ -1369,6 +1464,7 @@ class SnapshotTable:
         arrow_transform=None,
         batch_stats: dict[str, Any] | None = None,
         merge_mode: str = "cow",
+        stage_ref: str | None = None,
     ) -> CommitResult:
         """MERGE the batch into the table with LWW semantics.
 
@@ -1528,7 +1624,7 @@ class SnapshotTable:
                     buckets, evolved, props, m["snapshot_id"],
                     {"n_rows_raw": n_after},
                     read_mode="lww", order_cols=list(order_cols),
-                    parent_name=m["_name"],
+                    parent_name=m["_name"], stage_ref=stage_ref,
                 )
             return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
@@ -1608,7 +1704,7 @@ class SnapshotTable:
                 buckets, evolved, props, m["snapshot_id"], {"n_rows": n_after},
                 read_mode=m.get("read_mode", "plain"),
                 order_cols=m.get("order_cols"),
-                parent_name=m["_name"],
+                parent_name=m["_name"], stage_ref=stage_ref,
             )
             return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
@@ -1686,7 +1782,7 @@ class SnapshotTable:
                 # touched buckets, the rest may still be multi-version
                 read_mode=m.get("read_mode", "plain"),
                 order_cols=m.get("order_cols"),
-                parent_name=m["_name"],
+                parent_name=m["_name"], stage_ref=stage_ref,
             )
         return CommitResult(sid, mp, touched, n_up, n_del, n_after, props)
 
@@ -2137,8 +2233,12 @@ class SnapshotTable:
         finally:
             self._release_lock(lock)
         referenced: set[str] = set()
-        for name in chain:
-            m = self._load_manifest(name)
+        # staged (unpublished) snapshots' files are NOT orphans
+        for name in chain + list(self._read_staged().values()):
+            try:
+                m = self._load_manifest(name)
+            except OSError:
+                continue
             for files in m["buckets"].values():
                 referenced.update(os.path.realpath(f) for f in files)
         data_root = os.path.join(self.path, _DATA)
