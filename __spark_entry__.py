@@ -2476,6 +2476,35 @@ def _run_cdc(
     return pipe.current_state().select("url", "seq", "text").orderBy("url")
 
 
+def q_cdc_wap_state(spark, sf_dir):
+    """Write-audit-publish through the CDC pipeline: batch 1 commits
+    directly, batch 2 is STAGED (readers still see batch 1), audited
+    via read_staged, then published — the final state must equal the
+    direct 2-batch replay, which is exactly what the shared LWW oracle
+    asserts."""
+    from clinvar_ingest_spark.sources import ChangeLogSource
+
+    tbl = _run_cdc(spark, sf_dir, n_batches=1, return_table=True,
+                   log_builder=lambda s, d: _events_as_change_log(s, d)
+                   .filter(F.col("seq") % 2 == 0))
+    from clinvar_ingest_spark.functions.extract import extract_text
+
+    log = _events_as_change_log(spark, sf_dir).filter(
+        F.col("seq") % 2 == 1
+    )
+    tbl.merge_upsert(
+        log.drop("part"),
+        post_merge_transform=lambda df: df.withColumn(
+            "text", F.coalesce(F.col("text"), extract_text("html"))
+        ),
+        stage_ref="audit",
+    )
+    n_staged = tbl.read_staged("audit").count()
+    assert n_staged > 0  # the audit step
+    tbl.publish_staged("audit")
+    return tbl.read().select("url", "seq", "text").orderBy("url")
+
+
 def q_cdc_pipeline_state(spark, sf_dir):
     """FULL pipeline (extract → LWW merge → tombstones → snapshot commit)
     replayed in 3 batches; oracle replays the same semantics in SQL."""
@@ -4135,6 +4164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_append": q_union_append,
         "cdc_merge_into_state": q_cdc_merge_into_state,
         "cdc_change_feed_images": q_cdc_change_feed_images,
+        "cdc_wap_state": q_cdc_wap_state,
         "link_graph_degrees": q_link_graph_degrees,
         "link_graph_pagerank": q_link_graph_pagerank,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4296,6 +4326,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
         "cdc_merge_into_state": _SQL_CDC_MERGE_INTO,
+        "cdc_wap_state": _SQL_CDC_STATE,
         "cdc_change_feed_images": _SQL_CDC_CHANGE_FEED,
         "link_graph_degrees": _SQL_LINK_DEGREES,
         "link_graph_pagerank": _sql_pagerank(),
