@@ -600,6 +600,34 @@ FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id
 """
 
 
+def q_doc_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization before fingerprinting: each doc is
+    suffixed with a decomposed 'café' (e + COMBINING ACUTE), normalized
+    NFC, and fingerprinted — the md5 proves byte-level agreement with
+    DuckDB's nfc_normalize on genuinely non-ASCII input."""
+    from clinvar_ingest_spark.functions.text import nfc_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" cafe\u0301"))
+    out = d.select("doc_id", raw.alias("raw"))
+    norm = nfc_normalize(F.col("raw"))
+    return out.select(
+        "doc_id",
+        F.length("raw").alias("len_raw"),
+        F.length(norm).alias("len_nfc"),
+        F.md5(norm).alias("fp_nfc"),
+    ).orderBy("doc_id")
+
+
+_SQL_NFC = """
+SELECT doc_id,
+       length(text || ' cafe' || chr(769)) AS len_raw,
+       length(nfc_normalize(text || ' cafe' || chr(769))) AS len_nfc,
+       md5(nfc_normalize(text || ' cafe' || chr(769))) AS fp_nfc
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     """Exact-content dedup: hash-groupBy, min-id survivor (map-side
     combinable — no window, robust to hot boilerplate content)."""
@@ -4186,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_repetition_stats": q_doc_repetition_stats,
         "chunk_dedup_docs": q_chunk_dedup_docs,
+        "doc_nfc_normalize": q_doc_nfc_normalize,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -4276,6 +4305,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         **_sql_text_ops(),
         "doc_fingerprint": _SQL_FINGERPRINT,
         "chunk_dedup_docs": _SQL_CHUNK_DEDUP,
+        "doc_nfc_normalize": _SQL_NFC,
         "exact_dedup_docs": _SQL_EXACT_DEDUP,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_bucketed": _SQL_ANN_LSH,

@@ -146,6 +146,30 @@ def repetition_stats(text: Column) -> Column:
     )
 
 
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization (the canonical pre-dedup step for web
+    text: 'e'+COMBINING ACUTE and precomposed 'é' must fingerprint
+    identically or near-dup misses them).
+
+    Spark has no built-in normalizer, so this is the documented
+    Arrow-batched exception to the builtins-first rule: a pandas UDF
+    (vectorized transfer, ArrowEvalPython — NOT per-row
+    BatchEvalPython) over ``unicodedata.normalize``, the same tables
+    DuckDB's ``nfc_normalize`` implements, so the oracle is exact."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return _nfc(text)
+
+
 def fingerprint(text: Column) -> Column:
     """Stable content fingerprint: md5 of case/space-normalized text
     (rolling-hash analog that both engines compute identically)."""

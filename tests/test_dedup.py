@@ -346,3 +346,22 @@ def test_assign_split_deterministic_and_partition_invariant(spark):
     big = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
     c = {r["doc_id"]: r["split"] for r in assign_split(big).collect()}
     assert all(c[k] == v for k, v in a.items())
+
+
+def test_nfc_normalize_merges_decomposed_forms(spark):
+    """Decomposed and precomposed accents fingerprint identically after
+    NFC; NULLs pass through."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.text import nfc_normalize
+
+    df = spark.createDataFrame(
+        [("café",), ("café",), (None,)], "t string"
+    )
+    rows = df.select(
+        nfc_normalize(F.col("t")).alias("n"),
+        F.md5(nfc_normalize(F.col("t"))).alias("fp"),
+    ).collect()
+    assert rows[0]["n"] == rows[1]["n"] == "café"
+    assert rows[0]["fp"] == rows[1]["fp"]
+    assert rows[2]["n"] is None
