@@ -4160,12 +4160,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_curated_corpus": q_cdc_curated_corpus,
         "cdc_incremental_neardup": q_cdc_incremental_neardup,
         "cdc_dml_state": q_cdc_dml_state,
+        "cdc_merge_into_state": q_cdc_merge_into_state,
+        "cdc_change_feed_images": q_cdc_change_feed_images,
+        "cdc_wap_state": q_cdc_wap_state,
         "snapshot_changes": q_snapshot_changes,
         "tree_disassemble": q_tree_disassemble,
         "event_time_windows": q_event_time_windows,
         "stream_change_feed": q_stream_change_feed,
         "ndjson_roundtrip": q_ndjson_roundtrip,
-        "synthetic_ids": q_synthetic_ids,
         # -- tier 2: LWW dedup + join operators -------------------------
         "lww_latest_event": q_lww_latest_event,
         "lww_latest_event_salted": q_lww_latest_event_salted,
@@ -4179,14 +4181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tier 3: TPC-H analytical shapes ----------------------------
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "top_orders": q_top_orders,
-        "nation_pair_revenue": q_nation_pair_revenue,
-        "top_supplier_revenue": q_top_supplier_revenue,
         # -- tier 4: scalar / normalization suite -----------------------
-        "sanitize_date": q_sanitize_date,
         "event_type_stats": q_event_type_stats,
         # -- tier 5: flagship LLM-pipeline ops --------------------------
         "exact_dedup_docs": q_exact_dedup_docs,
+        "chunk_dedup_docs": q_chunk_dedup_docs,
+        "link_graph_pagerank": q_link_graph_pagerank,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_near_dup": q_simhash_near_dup,
@@ -4201,6 +4201,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "eval_decontamination": q_eval_decontamination,
         "canonical_urls": q_canonical_urls,
+        # -- round-5 new-surface gates (three-clause MERGE, CDF images,
+        # WAP, corpus chunk dedup, fixed-point PageRank) sit in-window
+        # above; the five demoted multiply-gated variants (sanitize_date,
+        # synthetic_ids, top_orders, nation_pair_revenue,
+        # top_supplier_revenue — each driver-green r1-r4) keep
+        # tools/check_oracle.py coverage past the window
         # -- round-5 rotation (VERDICT r4 #4): never-driver-gated queries
         # earn rows — rename evolution, PQ/IVF-PQ ANN, z-order, HLL, the
         # bigram LM, and the now-REAL multimodal decode; the seven
@@ -4217,18 +4223,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # ============ driver correctness window ends here (50) =========
         "clean_empty_tokens": q_clean_empty_tokens,
+        "sanitize_date": q_sanitize_date,
+        "synthetic_ids": q_synthetic_ids,
+        "top_orders": q_top_orders,
+        "nation_pair_revenue": q_nation_pair_revenue,
+        "top_supplier_revenue": q_top_supplier_revenue,
         "to_json_rows": q_to_json_rows,
         "try_int_cast": q_try_int_cast,
         "json_extract": q_json_extract,
         "coalesce_oneof": q_coalesce_oneof,
         "user_event_type_sets": q_user_event_type_sets,
         "union_append": q_union_append,
-        "cdc_merge_into_state": q_cdc_merge_into_state,
-        "cdc_change_feed_images": q_cdc_change_feed_images,
-        "cdc_wap_state": q_cdc_wap_state,
         "event_time_sliding_windows": q_event_time_sliding_windows,
         "link_graph_degrees": q_link_graph_degrees,
-        "link_graph_pagerank": q_link_graph_pagerank,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "url_blocklist_filter": q_url_blocklist_filter,
         "train_val_split": q_train_val_split,
@@ -4247,7 +4254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "doc_token_count": q_doc_token_count,
         "doc_repetition_stats": q_doc_repetition_stats,
-        "chunk_dedup_docs": q_chunk_dedup_docs,
         "doc_nfc_normalize": q_doc_nfc_normalize,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,

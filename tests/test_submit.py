@@ -98,6 +98,10 @@ def test_driver_window_membership_is_pinned():
         "cdc_rename_state", "bigram_freq_score", "ann_pq_topk",
         "ann_ivf_pq", "zorder_events", "hll_distinct_users",
         "multimodal_features",
+        # round-5 new-surface gates: three-clause MERGE, CDF images,
+        # write-audit-publish, corpus chunk dedup, fixed-point PageRank
+        "cdc_merge_into_state", "cdc_change_feed_images", "cdc_wap_state",
+        "chunk_dedup_docs", "link_graph_pagerank",
     }
     missing = gate_critical - set(w)
     assert not missing, f"gate queries fell out of the driver window: {missing}"
