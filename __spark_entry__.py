@@ -561,6 +561,156 @@ def q_doc_repetition_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_doc_pii_redact(spark, sf_dir):
+    """PII scrubbing (the BigCode/StarCoder-style pre-training redaction
+    pass): emails → <EMAIL>, IPv4s → <IP>, phone-shaped numbers →
+    <PHONE>, plus exact per-kind hit counts as the audit signal. The
+    documents corpus is word soup, so each row deterministically embeds
+    one email, one IP, and one phone derived from doc_id — the SAME
+    expression in both engines — and the gate proves the redaction
+    rules fire (and count) identically. One codegen projection: at
+    100 TB this runs at scan speed, no shuffle, no Python."""
+    from clinvar_ingest_spark.functions.text import pii_counts, pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" tel 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    c = pii_counts(full)
+    return d.select(
+        "doc_id",
+        pii_redact(full).alias("clean_text"),
+        c.getField("n_emails").alias("n_emails"),
+        c.getField("n_ips").alias("n_ips"),
+        c.getField("n_phones").alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+_SQL_PII_REDACT = r"""
+WITH pii_src AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+              || CAST(doc_id % 5 AS VARCHAR) || '.example.com from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR) || ' tel 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g')
+         AS clean_text,
+       len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(t,
+         '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones
+FROM pii_src
+ORDER BY doc_id
+"""
+
+
+def q_page_outlinks(spark, sf_dir):
+    """HTML outlink extraction → per-host link stats: the edge-list
+    feed for the link graph (operators/graph.py). Pages are synthesized
+    deterministically from events (two real hrefs + anchor noise + a
+    bare 'href=' decoy per page, same expression in both engines);
+    extraction is codegen regexp_extract_all on the capture group, then
+    one explode + one keyed aggregate — the only shuffle is the
+    group-by, exactly the shape a 100-TB crawl→link-graph pass needs."""
+    from clinvar_ingest_spark.functions.text import extract_outlinks, url_host
+
+    ev = _t(spark, sf_dir, "events")
+    html = F.concat(
+        F.lit('<html><a href="https://d'),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".site/u"), F.col("user_id").cast("string"),
+        F.lit('">u</a><p>noise k'), F.col("event_id").cast("string"),
+        F.lit(' href= not a link</p><a href="https://ext'),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit(".example.org/p"), F.col("event_id").cast("string"),
+        F.lit('">x</a><a name="anchor">no href</a></html>'),
+    )
+    links = ev.select(
+        "event_id", F.explode(extract_outlinks(html)).alias("link")
+    )
+    return (
+        links.select("event_id", url_host(F.col("link")).alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("event_id").alias("n_pages"),
+        )
+        .orderBy("host")
+    )
+
+
+_SQL_PAGE_OUTLINKS = r"""
+WITH pages AS (
+  SELECT event_id,
+         '<html><a href="https://d' || CAST(user_id % 7 AS VARCHAR)
+           || '.site/u' || CAST(user_id AS VARCHAR)
+           || '">u</a><p>noise k' || CAST(event_id AS VARCHAR)
+           || ' href= not a link</p><a href="https://ext'
+           || CAST(event_id % 13 AS VARCHAR) || '.example.org/p'
+           || CAST(event_id AS VARCHAR)
+           || '">x</a><a name="anchor">no href</a></html>' AS html
+  FROM events
+),
+links AS (
+  SELECT event_id,
+         unnest(regexp_extract_all(html, 'href="(https?://[^"]+)"', 1)) AS link
+  FROM pages
+)
+SELECT lower(regexp_extract(link,
+         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+       count(*) AS n_links,
+       count(DISTINCT event_id) AS n_pages
+FROM links
+GROUP BY 1
+ORDER BY host
+"""
+
+
+def q_hist_quantiles_price(spark, sf_dir):
+    """Mergeable fixed-bin histogram quantiles over lineitem price in
+    CENTS (exact integers end-to-end): p25/p50/p75/p90/p99 read off a
+    1024-register sketch whose bins are pure shifts — map-side
+    combinable, mergeable across partitions/tables/days, so daily
+    histogram tables answer distribution questions at 100 TB without
+    re-scans (unlike percentile_approx, whose sketch bytes are
+    engine-private and not oracle-checkable)."""
+    from clinvar_ingest_spark.operators.sketch import hist_counts, hist_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    counts = hist_counts(
+        li.select(cents.alias("c")), "c", lo=0, bin_shift=14, n_bins=1024
+    )
+    return hist_quantiles(counts, [25, 50, 75, 90, 99], lo=0, bin_shift=14)
+
+
+def _sql_hist_quantiles() -> str:
+    from clinvar_ingest_spark.operators.sketch import hist_sql
+
+    return hist_sql(
+        "floor(l_extendedprice * 100 + 0.5)", "lineitem",
+        lo=0, bin_shift=14, n_bins=1024, pcts=[25, 50, 75, 90, 99],
+    )
+
+
 def q_chunk_dedup_docs(spark, sf_dir):
     """CCNet-style corpus-level chunk dedup: each distinct 10-token
     chunk survives only at its first corpus occurrence; documents are
@@ -1486,6 +1636,111 @@ def q_multimodal_features(spark, sf_dir):
         "px_min",
         "px_max",
     ).orderBy("doc_id")
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """Multimodal audio with a REAL decode: most docs carry a
+    deterministic synthetic PCM WAV (rate/channels/bit-depth/frames and
+    sample values derived from doc_id; the fixture encoder interleaves
+    an odd-sized LIST chunk so the parser's chunk-skip + pad-byte path
+    runs), every 7th a truncated WAV (kind='corrupt'), every 5th opaque
+    text bytes. The engine parses the RIFF container for real
+    (functions/wav.py) inside Arrow-batched mapInPandas; the DuckDB
+    oracle recomputes geometry and exact sample sum/min/max
+    ANALYTICALLY from doc_id — a wrong endianness, sign convention, or
+    chunk walk is a hash mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+    from clinvar_ingest_spark.functions.wav import encode_wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 5 == 4:
+                    payloads.append((text or "").encode("utf-8"))
+                    continue
+                rate = 8000 + (did % 3) * 4000
+                ch = 1 + did % 2
+                bits = 8 if did % 3 == 0 else 16
+                nf = did % 24 + 4
+                idx = np.arange(nf * ch, dtype=np.int64)
+                raw = did * 17 + idx * 29
+                if bits == 8:
+                    frames = (raw % 256).astype(np.uint8).tobytes()
+                else:
+                    frames = ((raw % 65536) - 32768).astype("<i2").tobytes()
+                wav = encode_wav(rate, ch, bits, frames)
+                payloads.append(wav[:16] if did % 7 == 3 else wav)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    gen = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    feats = extract_audio_features(gen)
+    opaque = F.col("kind") == "opaque"
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.when(opaque, F.col("n_bytes")).alias("n_bytes"),
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_frames",
+        "s_sum",
+        "s_min",
+        "s_max",
+    ).orderBy("doc_id")
+
+
+_SQL_MULTIMODAL_AUDIO = """
+WITH geom AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 4 THEN 'opaque'
+              WHEN doc_id % 7 = 3 THEN 'corrupt'
+              ELSE 'wav' END AS kind,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + doc_id % 2 AS ch,
+         CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+         doc_id % 24 + 4 AS nf
+  FROM documents
+),
+idx AS (
+  SELECT g.doc_id, g.bits,
+         unnest(range(0, g.nf * g.ch)) AS i
+  FROM geom g WHERE g.kind = 'wav'
+),
+wav_stats AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bits = 8 THEN (doc_id*17 + i*29) % 256
+                       ELSE ((doc_id*17 + i*29) % 65536) - 32768 END)
+              AS BIGINT) AS s_sum,
+         CAST(min(CASE WHEN bits = 8 THEN (doc_id*17 + i*29) % 256
+                       ELSE ((doc_id*17 + i*29) % 65536) - 32768 END)
+              AS INTEGER) AS s_min,
+         CAST(max(CASE WHEN bits = 8 THEN (doc_id*17 + i*29) % 256
+                       ELSE ((doc_id*17 + i*29) % 65536) - 32768 END)
+              AS INTEGER) AS s_max
+  FROM idx
+  GROUP BY doc_id
+)
+SELECT g.doc_id, g.kind,
+       CASE WHEN g.kind = 'opaque' THEN length(g.text) END AS n_bytes,
+       CASE WHEN g.kind = 'wav' THEN g.rate END AS sample_rate,
+       CASE WHEN g.kind = 'wav' THEN g.ch END AS channels,
+       CASE WHEN g.kind = 'wav' THEN g.bits END AS bits,
+       CASE WHEN g.kind = 'wav' THEN g.nf END AS n_frames,
+       w.s_sum, w.s_min, w.s_max
+FROM geom g LEFT JOIN wav_stats w USING (doc_id)
+ORDER BY g.doc_id
+"""
 
 
 def q_running_total(spark, sf_dir):
@@ -2588,6 +2843,26 @@ FROM winners
 WHERE rn = 1 AND op <> 'delete' AND seq % 13 <> 0
 ORDER BY url
 """
+
+
+def q_cdc_rollback_state(spark, sf_dir):
+    """Snapshot rollback as disaster recovery: after the 2-batch CDC
+    replay, a bad deploy corrupts rows via row-level DML and lands a
+    bogus merge batch; ``rollback_to()`` reverts to the good snapshot
+    in ONE metadata-only commit (no data file moved, history
+    preserved). The shared LWW oracle proves the final state equals the
+    clean replay — impossible unless rollback restored file lists,
+    schema, and read mode exactly. Reference analog: clinvar-ingest
+    recovers a bad load by reprocessing the whole release
+    (clinvar_ingest/api/main.py); here recovery is one pointer commit."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    good = tbl.snapshot_id()
+    tbl.update_where(
+        F.col("seq") % 5 == 0, {"text": F.lit("CORRUPTED-BY-BAD-DEPLOY")}
+    )
+    tbl.delete_where(F.col("seq") % 11 == 3)
+    tbl.rollback_to(good)
+    return tbl.read().select("url", "seq", "text").orderBy("url")
 
 
 def _link_edges(spark, sf_dir):
@@ -4160,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_curated_corpus": q_cdc_curated_corpus,
         "cdc_incremental_neardup": q_cdc_incremental_neardup,
         "cdc_dml_state": q_cdc_dml_state,
+        "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_merge_into_state": q_cdc_merge_into_state,
         "cdc_change_feed_images": q_cdc_change_feed_images,
         "cdc_wap_state": q_cdc_wap_state,
@@ -4174,15 +4450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_with_tombstones": q_lww_with_tombstones,
         "range_join_1day": q_range_join_1day,
         "semi_join_active_customers": q_semi_join_active_customers,
-        "anti_join_idle_customers": q_anti_join_idle_customers,
-        "left_join_null_gate": q_left_join_null_gate,
-        "prioritized_lookup": q_prioritized_lookup,
-        "sessionize_events": q_sessionize_events,
         # -- tier 3: TPC-H analytical shapes ----------------------------
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        # -- tier 4: scalar / normalization suite -----------------------
-        "event_type_stats": q_event_type_stats,
         # -- tier 5: flagship LLM-pipeline ops --------------------------
         "exact_dedup_docs": q_exact_dedup_docs,
         "chunk_dedup_docs": q_chunk_dedup_docs,
@@ -4221,7 +4491,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "hll_distinct_users": q_hll_distinct_users,
         "multimodal_features": q_multimodal_features,
+        # -- round-5 second-wave gates: snapshot rollback recovery, PII
+        # scrubbing, HTML outlink extraction, histogram-quantile sketch;
+        # the four multiply-gated join/scalar variants they displace
+        # (anti_join_idle_customers, left_join_null_gate,
+        # prioritized_lookup, event_type_stats — each driver-green
+        # r1-r4) keep tools/check_oracle.py coverage past the window
+        "doc_pii_redact": q_doc_pii_redact,
+        "page_outlinks": q_page_outlinks,
+        "hist_quantiles_price": q_hist_quantiles_price,
+        "multimodal_audio_features": q_multimodal_audio_features,
         # ============ driver correctness window ends here (50) =========
+        "sessionize_events": q_sessionize_events,
+        "anti_join_idle_customers": q_anti_join_idle_customers,
+        "left_join_null_gate": q_left_join_null_gate,
+        "prioritized_lookup": q_prioritized_lookup,
+        "event_type_stats": q_event_type_stats,
         "clean_empty_tokens": q_clean_empty_tokens,
         "sanitize_date": q_sanitize_date,
         "synthetic_ids": q_synthetic_ids,
@@ -4395,6 +4680,11 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "zorder_events": _SQL_ZORDER,
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
+        "cdc_rollback_state": _SQL_CDC_STATE,
+        "doc_pii_redact": _SQL_PII_REDACT,
+        "page_outlinks": _SQL_PAGE_OUTLINKS,
+        "hist_quantiles_price": _sql_hist_quantiles(),
+        "multimodal_audio_features": _SQL_MULTIMODAL_AUDIO,
         "cdc_merge_into_state": _SQL_CDC_MERGE_INTO,
         "cdc_wap_state": _SQL_CDC_STATE,
         "event_time_sliding_windows": _SQL_SLIDING_WINDOWS,

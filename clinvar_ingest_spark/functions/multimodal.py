@@ -12,8 +12,11 @@ to parse is reported as kind='corrupt' rather than failing the batch —
 at web scale some payloads are always broken, and a poison payload
 must not kill the partition.
 
-Formats beyond PNG (JPEG/audio/video frame sampling) still need codecs
-absent from this sandbox; they would slot into ``decode_media`` behind
+Audio gets the same treatment: RIFF/WAVE PCM payloads are REALLY parsed
+(:mod:`clinvar_ingest_spark.functions.wav` — chunk walk, geometry
+validation, exact integer sample stats) via :func:`decode_audio` /
+:func:`extract_audio_features`. Formats needing codecs absent from this
+sandbox (JPEG, compressed audio, video frame sampling) would slot into
 the same sniff-and-dispatch, keeping schema/partitioning unchanged.
 """
 
@@ -99,6 +102,70 @@ def decode_media(payload: bytes) -> dict:
         }
     )
     return base
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_min", T.IntegerType()),
+        T.StructField("s_max", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Sniff-and-dispatch audio decode for one payload: RIFF/WAVE magic
+    → real PCM parse (functions/wav.py) with exact integer sample
+    stats; anything else → ``kind='opaque'``; a WAV-looking payload
+    that fails to parse → ``kind='corrupt'`` (poison payloads must not
+    kill the partition at web scale). Same contract as the image path."""
+    from clinvar_ingest_spark.functions.wav import WavError, decode_wav
+
+    base = {
+        "kind": "opaque",
+        "n_bytes": len(payload),
+        "sample_rate": None,
+        "channels": None,
+        "bits": None,
+        "n_frames": None,
+        "s_sum": None,
+        "s_min": None,
+        "s_max": None,
+    }
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return base
+    try:
+        meta = decode_wav(payload)
+    except WavError:
+        base["kind"] = "corrupt"
+        return base
+    base.update(meta)
+    base["kind"] = "wav"
+    return base
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched mapInPandas audio feature extraction — the audio
+    twin of :func:`extract_media_features`, fixed AUDIO_SCHEMA output."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_SCHEMA.fields if f.name != "doc_id"]
+        for pdf in batches:
+            feats = [decode_audio(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_extract, schema=AUDIO_SCHEMA)
 
 
 def extract_media_features(

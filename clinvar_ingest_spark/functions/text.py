@@ -217,3 +217,61 @@ def canonical_url(url: Column) -> Column:
     # (the whole run, so the rule is idempotent on degenerate '//' tails)
     u = F.regexp_replace(u, r"(://[^/?#]+/.+?)/+\?", "$1?")
     return F.regexp_replace(u, r"(://[^/?#]+/.+?)/+$", "$1")
+
+
+# ---------------------------------------------------------------- PII
+# Redaction patterns, applied in order. RE2-safe (no lookaround, no
+# backreferences) so Spark's Java regex and the DuckDB oracle's RE2
+# match byte-identically; greedy quantifiers only, with no ambiguous
+# alternation, so leftmost-first semantics agree across both engines.
+# IP runs BEFORE phone so dotted triples prefer the more specific rule;
+# email runs first because its local part may contain digits that the
+# phone pattern would otherwise nibble.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+
+
+def pii_counts(text: Column) -> Column:
+    """Exact per-kind PII hit counts (pre-redaction) as one struct —
+    the audit signal a redaction pass must emit so downstream can gate
+    on residual-PII == 0. Pure codegen: regexp_extract_all sizes."""
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact emails → <EMAIL>, IPv4s → <IP>, phone-shaped numbers →
+    <PHONE>, all occurrences, fixed rule order. This is the standard
+    pre-training scrub (e.g. BigCode/StarCoder PII pipeline shape) as a
+    single codegen projection — at 100 TB it runs at scan speed with no
+    shuffle and no Python. Reference analog: the scalar sanitizer family
+    (clinvar_ingest/model/common.py:100-127) applied to web text."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+# ------------------------------------------------------------ outlinks
+# href extraction: double-quoted absolute http(s) URLs only — the
+# deterministic common case both engines extract identically. Capture
+# group 1 is the URL body.
+HREF_RE = r'href="(https?://[^"]+)"'
+
+
+def extract_outlinks(html_text: Column) -> Column:
+    """All absolute http(s) outlinks of an HTML page, in document order.
+
+    This is the edge-list feed for the link graph
+    (operators/graph.py): pages → explode(outlinks) → (src_host,
+    dst_host) edges → degrees/PageRank. Codegen regexp_extract_all —
+    no Python, no shuffle until the caller aggregates."""
+    return F.regexp_extract_all(html_text, F.lit(HREF_RE), 1)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host[:port] of an absolute URL ('' if unparseable)."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))

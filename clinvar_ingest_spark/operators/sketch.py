@@ -253,3 +253,114 @@ SELECT p.{col}, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
 FROM probes p LEFT JOIN counters c USING (row_i, slot)
 GROUP BY p.{col}
 """
+
+
+# -- Mergeable histogram quantiles ---------------------------------------
+#
+# Same portability contract again: a fixed-bin histogram over an
+# integer-valued column (work in the smallest integer unit — cents,
+# micros, bytes — never floats). bin = (value - lo) >> bin_shift,
+# clamped to [0, n_bins-1]; counts are exact BIGINTs; merge =
+# elementwise SUM (map-side combinable, mergeable across partitions,
+# tables, and days). Quantile q is read off the cumulative counts with
+# integer-ceil rank targets, answering with the bin's EXCLUSIVE upper
+# bound — every intermediate is an exact integer, so Spark and the
+# DuckDB oracle agree bit-for-bit (unlike percentile_approx / t-digest,
+# whose sketch bytes are engine-private). Max error = one bin width,
+# chosen by the caller; n_bins BIGINTs of state regardless of input
+# size, so daily histogram tables replace 100-TB re-scans for latency /
+# size / price distribution questions.
+
+def hist_counts(
+    df: DataFrame, col: Column | str, lo: int, bin_shift: int, n_bins: int
+) -> DataFrame:
+    """(bin, cnt) histogram register table over an integer column.
+
+    ``bin_shift`` makes the bin width a power of two so the bin id is a
+    pure shift — exact in both engines, no float division anywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.shiftright((c - lo).cast("long"), bin_shift)),
+    )
+    return (
+        df.select(b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*counts: DataFrame) -> DataFrame:
+    """Merge histogram tables (days / partitions / tables): sum."""
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    counts: DataFrame, pcts: list[int], lo: int, bin_shift: int
+) -> DataFrame:
+    """(pct, n, est) per requested integer percentile.
+
+    rank target = ceil(n·pct/100) as exact integer arithmetic; the
+    estimate is the exclusive upper bound of the first bin whose
+    cumulative count reaches the target. The window/cross-join here
+    runs over the SKETCH (≤ n_bins rows), never the data."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    spark = counts.sparkSession
+    pct_df = spark.createDataFrame([(int(p),) for p in pcts], "pct int")
+    target = F.floor((F.col("n") * F.col("pct") + 99) / 100).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(pct_df))
+        .where(F.col("cum") >= target)
+        .groupBy("pct")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                (F.min("bin").cast("long") + 1) * F.lit(1 << bin_shift)
+                + F.lit(lo)
+            ).alias("est"),
+        )
+        .orderBy("pct")
+    )
+
+
+def hist_sql(
+    cents_expr: str, table: str, lo: int, bin_shift: int, n_bins: int,
+    pcts: list[int],
+) -> str:
+    """DuckDB replay of hist_counts + hist_quantiles (oracle mirror)."""
+    pct_list = ", ".join(str(int(p)) for p in pcts)
+    return f"""
+WITH v AS (SELECT CAST({cents_expr} AS BIGINT) AS c FROM {table}),
+b AS (
+  SELECT least({n_bins - 1}, greatest(0, (c - {lo}) >> {bin_shift})) AS bin
+  FROM v
+),
+counts AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+cum AS (
+  SELECT bin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n
+  FROM counts
+),
+pcts AS (SELECT unnest([{pct_list}]) AS pct)
+SELECT p.pct, max(c.n) AS n,
+       (CAST(min(c.bin) AS BIGINT) + 1) * {1 << bin_shift} + {lo} AS est
+FROM cum c CROSS JOIN pcts p
+WHERE c.cum >= (c.n * p.pct + 99) // 100
+GROUP BY p.pct
+ORDER BY p.pct
+"""

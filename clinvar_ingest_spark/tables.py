@@ -604,6 +604,55 @@ class SnapshotTable:
         """Time travel: read the table as of an older snapshot."""
         return self.read(snapshot=self.manifest_at(snapshot_id))
 
+    def rollback_to(self, snapshot_id: int) -> CommitResult:
+        """Iceberg ``rollback_to_snapshot`` analog: a METADATA-ONLY
+        commit whose content — file lists, schema, evolution log, read
+        mode, sort order, bucket spec, properties (so CHECK constraints
+        and retention settings revert too) — is the target snapshot's,
+        with parent = the CURRENT head. No data file is touched or
+        rewritten; the abandoned snapshots stay on the committed chain,
+        so they remain time-travelable and their files stay GC-safe
+        until normal retention expires them. Reference analog: the
+        release-replay recovery loop (clinvar-ingest reprocesses a
+        release from scratch when a load goes bad,
+        clinvar_ingest/api/main.py); here recovery is one pointer-level
+        commit instead of a re-ingest."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        if snapshot_id == m["snapshot_id"]:
+            raise ValueError(f"already at snapshot {snapshot_id}")
+        t = self.manifest_at(snapshot_id)  # committed-chain resolution only
+        buckets = {int(b): list(fs) for b, fs in t["buckets"].items()}
+        old_n = self.n_buckets
+        self.n_buckets = int(t.get("n_buckets", old_n))
+        try:
+            sid, mp = self._commit(
+                buckets,
+                T.StructType.fromJson(t["schema"]),
+                dict(t.get("properties", {})),
+                m["snapshot_id"],
+                dict(t.get("stats", {})),
+                read_mode=t.get("read_mode", "plain"),
+                order_cols=t.get("order_cols"),
+                parent_name=m["_name"],
+                # restore the TARGET's evolution log verbatim (empty
+                # lists override _commit's copy-forward from the head,
+                # so a rollback across a rename/drop really reverts it)
+                schema_evolution={
+                    "renames": list(t.get("renames", [])),
+                    "dropped": list(t.get("dropped", [])),
+                },
+            )
+        except BaseException:
+            self.n_buckets = old_n
+            raise
+        return CommitResult(
+            sid, mp, sorted(buckets), 0, 0,
+            int(t.get("stats", {}).get("n_rows", -1)),
+            dict(t.get("properties", {})),
+        )
+
     def rebucket(self, new_n_buckets: int) -> CommitResult:
         """Partition evolution: rewrite the whole table under a new
         bucket count (the Iceberg partition-spec-evolution analog for a

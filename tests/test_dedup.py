@@ -365,3 +365,61 @@ def test_nfc_normalize_merges_decomposed_forms(spark):
     assert rows[0]["n"] == rows[1]["n"] == "café"
     assert rows[0]["fp"] == rows[1]["fp"]
     assert rows[2]["n"] is None
+
+
+def test_pii_redact_golden_and_counts(spark):
+    """PII scrub: all occurrences of each kind replaced with its token,
+    rule order email→IP→phone, no false hits on version strings or
+    short decimals; pii_counts agrees with what redaction removed."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.text import pii_counts, pii_redact
+
+    rows = [
+        ("mail a.b+x@foo.co or ops@sub.example.org now", "mail <EMAIL> or <EMAIL> now", 2, 0, 0),
+        ("server 10.1.2.3 and 192.168.0.254 up", "server <IP> and <IP> up", 0, 2, 0),
+        ("call 415-555-1234 or 415.555.0000", "call <PHONE> or <PHONE>", 0, 0, 2),
+        # non-hits: 3-part version, short decimal, @ without TLD
+        ("version 1.2.3 pi 3.14 ping p@x done", "version 1.2.3 pi 3.14 ping p@x done", 0, 0, 0),
+        # mixed, phone with dotted separators is phone (2 dots), IP needs 3
+        ("joe@a.io at 10.0.0.1 tel 123.456.7890", "<EMAIL> at <IP> tel <PHONE>", 1, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], "t string"
+    ).select(
+        "t",
+        pii_redact(F.col("t")).alias("clean"),
+        pii_counts(F.col("t")).alias("c"),
+    )
+    got = {r["t"]: (r["clean"], r["c"]["n_emails"], r["c"]["n_ips"], r["c"]["n_phones"])
+           for r in df.collect()}
+    for t, clean, ne, ni, np_ in rows:
+        assert got[t] == (clean, ne, ni, np_), (t, got[t])
+
+
+def test_extract_outlinks_and_host(spark):
+    """Outlink extraction: double-quoted absolute http(s) hrefs only, in
+    document order; decoys (bare href=, name=, relative, single-quoted)
+    are ignored; url_host lowercases and strips path/query."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.functions.text import extract_outlinks, url_host
+
+    html = (
+        '<a href="https://A.Example.com/x?q=1">one</a>'
+        "<p>href= decoy</p>"
+        '<a href="/relative">rel</a>'
+        "<a href='https://single.quoted.org/skip'>sq</a>'"
+        '<a href="http://b.org:8080/p">two</a>'
+        '<a name="anchor">three</a>'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    links = df.select(extract_outlinks(F.col("h")).alias("ls")).collect()[0]["ls"]
+    assert links == ["https://A.Example.com/x?q=1", "http://b.org:8080/p"]
+    hosts = [
+        r["host"]
+        for r in df.select(
+            F.explode(extract_outlinks(F.col("h"))).alias("l")
+        ).select(url_host(F.col("l")).alias("host")).collect()
+    ]
+    assert hosts == ["a.example.com", "b.org:8080"]

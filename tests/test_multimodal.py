@@ -131,3 +131,88 @@ def test_extract_media_features_end_to_end(spark):
         extract_media_features(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_wav_roundtrip_geometry_and_stats():
+    """Encode→decode round-trips every (bits, channels) combo with exact
+    numpy-checked sample stats; the fixture's odd-sized LIST chunk
+    exercises chunk skipping + the pad-byte rule."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.wav import decode_wav, encode_wav
+
+    for bits in (8, 16):
+        for ch in (1, 2):
+            n = 37  # odd frame count → odd data size for 8-bit mono
+            idx = np.arange(n * ch, dtype=np.int64)
+            if bits == 8:
+                s = ((idx * 29 + 7) % 256).astype(np.uint8)
+            else:
+                s = (((idx * 29 + 7) % 65536) - 32768).astype("<i2")
+            wav = encode_wav(8000, ch, bits, s.tobytes())
+            got = decode_wav(wav)
+            assert got == {
+                "sample_rate": 8000, "channels": ch, "bits": bits,
+                "n_frames": n,
+                "s_sum": int(s.sum(dtype=np.int64)),
+                "s_min": int(s.min()), "s_max": int(s.max()),
+            }
+
+
+def test_wav_rejects_malformed_input():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from clinvar_ingest_spark.functions.wav import WavError, decode_wav, encode_wav
+
+    good = encode_wav(8000, 1, 16, np.zeros(8, dtype="<i2").tobytes())
+    cases = [
+        b"",                                  # empty
+        b"RIFF\x00\x00\x00\x00DATA",          # wrong form type
+        good[:16],                            # truncated (riff size lies)
+        good.replace(b"data", b"datx"),       # no data chunk
+        good.replace(b"fmt ", b"fmtx"),       # no fmt chunk
+        # non-PCM codec id
+        good[:20] + struct.pack("<H", 3) + good[22:],
+        # block_align contradicting channels×bits
+        good[:32] + struct.pack("<H", 7) + good[34:],
+    ]
+    for c in cases:
+        with pytest.raises(WavError):
+            decode_wav(c)
+    # encoder refuses frames that aren't whole blocks
+    with pytest.raises(WavError):
+        encode_wav(8000, 2, 16, b"\x00" * 6)
+
+
+def test_decode_audio_dispatch(spark):
+    """RIFF/WAVE → real parse; truncated WAV → corrupt; other bytes →
+    opaque; and the mapInPandas plan stays Arrow-side."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        decode_audio,
+        extract_audio_features,
+    )
+    from clinvar_ingest_spark.functions.wav import encode_wav
+
+    wav = encode_wav(16000, 2, 16, np.arange(12, dtype="<i2").tobytes())
+    ok = decode_audio(wav)
+    assert (ok["kind"], ok["sample_rate"], ok["channels"], ok["n_frames"]) == (
+        "wav", 16000, 2, 6,
+    )
+    assert decode_audio(wav[:16])["kind"] == "corrupt"
+    assert decode_audio(b"plain text")["kind"] == "opaque"
+
+    df = spark.createDataFrame(
+        [(0, bytearray(wav)), (1, bytearray(b"x")), (2, bytearray(wav[:16]))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["kind"] for r in extract_audio_features(df).collect()}
+    assert got == {0: "wav", 1: "opaque", 2: "corrupt"}
+    plan = (
+        extract_audio_features(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan

@@ -386,3 +386,45 @@ def test_cms_overcounts_never_undercounts_and_merges(spark):
         for r in cms_estimate(merged, keys, "v").collect()
     }
     assert est_merged == est_union  # day-merge == union sketch
+
+
+def test_hist_quantiles_exact_and_mergeable(spark):
+    """Histogram-quantile sketch: merging per-partition sketches equals
+    the whole-data sketch (count-sum associativity); the estimate is
+    the exclusive upper bound of the target bin, so it is >= the true
+    percentile and within one bin width of it; out-of-range values
+    clamp into the edge bins instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.operators.sketch import (
+        hist_counts,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    # values 0..9999 uniform; bin width 2^6=64, 200 bins
+    df = spark.range(10000).select(F.col("id").alias("v"))
+    counts = hist_counts(df, "v", lo=0, bin_shift=6, n_bins=200)
+    got = {
+        r["pct"]: (r["n"], r["est"])
+        for r in hist_quantiles(counts, [50, 90, 99], lo=0, bin_shift=6).collect()
+    }
+    for pct in (50, 90, 99):
+        n, est = got[pct]
+        true = pct * 100 - 1  # true pct-th percentile of 0..9999
+        assert n == 10000
+        assert true <= est <= true + 64, (pct, est, true)
+
+    # mergeability: two halves merged == whole
+    a = hist_counts(df.filter("v < 4000"), "v", lo=0, bin_shift=6, n_bins=200)
+    b = hist_counts(df.filter("v >= 4000"), "v", lo=0, bin_shift=6, n_bins=200)
+    merged = sorted(map(tuple, hist_merge(a, b).collect()))
+    whole = sorted(map(tuple, counts.collect()))
+    assert merged == whole
+
+    # clamping: values below lo / above the top bin land in edge bins
+    oob = spark.createDataFrame([(-50,), (10**9,)], "v long")
+    bins = sorted(
+        r["bin"] for r in hist_counts(oob, "v", lo=0, bin_shift=6, n_bins=200).collect()
+    )
+    assert bins == [0, 199]

@@ -102,6 +102,10 @@ def test_driver_window_membership_is_pinned():
         # write-audit-publish, corpus chunk dedup, fixed-point PageRank
         "cdc_merge_into_state", "cdc_change_feed_images", "cdc_wap_state",
         "chunk_dedup_docs", "link_graph_pagerank",
+        # round-5 second wave: rollback recovery, PII scrub, outlink
+        # extraction, histogram-quantile sketch
+        "cdc_rollback_state", "doc_pii_redact", "page_outlinks",
+        "hist_quantiles_price", "multimodal_audio_features",
     }
     missing = gate_critical - set(w)
     assert not missing, f"gate queries fell out of the driver window: {missing}"

@@ -386,3 +386,54 @@ def test_wap_stage_audit_publish(spark, tmp_table_dir):
     assert t.staged_refs() == {}
     t.vacuum_orphans()  # aborted stage's files are now orphans
     assert {r["url"] for r in t.read().collect()} == {"u1", "u2", "u9"}
+
+
+def test_rollback_restores_state_metadata_only(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    rows = [(f"u{i}", TS, i, "good", "insert") for i in range(20)]
+    t.merge_upsert(_batch(spark, rows))
+    good_sid = t.snapshot_id()
+    good_buckets = t.current_manifest()["buckets"]
+    # corrupt via row DML, then a bad merge
+    t.update_where(F.col("seq") % 3 == 0, {"text": F.lit("CORRUPTED")})
+    t.merge_upsert(_batch(spark, [("u1", TS + dt.timedelta(2), 99, "bad", "update")]))
+    bad_sid = t.snapshot_id()
+    assert "CORRUPTED" in {r["text"] for r in t.read().collect()}
+
+    res = t.rollback_to(good_sid)
+    # a NEW commit (history preserved), carrying the target's exact files
+    assert res.snapshot_id == bad_sid + 1
+    assert t.snapshot_id() == res.snapshot_id
+    assert t.current_manifest()["buckets"] == good_buckets
+    assert {r["text"] for r in t.read().collect()} == {"good"}
+    # the abandoned snapshots stay time-travelable
+    bad = t.read_at(bad_sid).filter(~F.col("_deleted"))
+    assert "CORRUPTED" in {r["text"] for r in bad.collect()}
+    # and the table keeps working after rollback
+    t.merge_upsert(_batch(spark, [("u1", TS + dt.timedelta(3), 100, "v2", "update")]))
+    got = {r["url"]: r["text"] for r in t.read().collect()}
+    assert got["u1"] == "v2" and got["u2"] == "good"
+
+
+def test_rollback_reverts_schema_evolution(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.merge_upsert(_batch(spark, [("u1", TS, 1, "v1", "insert")]))
+    pre = t.snapshot_id()
+    t.rename_column("text", "body")
+    assert "body" in [f.name for f in t.schema().fields]
+    t.rollback_to(pre)
+    names = [f.name for f in t.schema().fields]
+    assert "text" in names and "body" not in names
+    assert t.current_manifest().get("renames", []) == []
+    assert [r["text"] for r in t.read().collect()] == ["v1"]
+
+
+def test_rollback_rejects_bad_targets(spark, tmp_table_dir):
+    import pytest
+
+    t = _mk(spark, tmp_table_dir)
+    t.merge_upsert(_batch(spark, [("u1", TS, 1, "v1", "insert")]))
+    with pytest.raises(ValueError):
+        t.rollback_to(t.snapshot_id())  # already there
+    with pytest.raises(ValueError):
+        t.rollback_to(99999)  # never committed
