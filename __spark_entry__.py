@@ -2865,6 +2865,56 @@ def q_cdc_rollback_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "text").orderBy("url")
 
 
+def q_cdc_ivm_domain_stats(spark, sf_dir):
+    """Delta-based incremental view maintenance (counting algorithm,
+    Gupta et al. SIGMOD '93): a per-domain (count, sum-chars) rollup is
+    maintained across the 3-batch CDC replay PURELY from change-feed
+    row images — +1/-1 signed deltas, zero base-table reads, O(changes)
+    per refresh. The oracle recomputes the rollup from the full LWW
+    replay, so any drift in the delta algebra (missed preimage, wrong
+    tombstone sign, zero-group not dropped) is a hash mismatch."""
+    from clinvar_ingest_spark.operators.ivm import maintain_view
+    from clinvar_ingest_spark.operators.normalize import domain_of
+
+    tbl = _run_cdc(spark, sf_dir, n_batches=3, return_table=True)
+    sids = sorted(
+        tbl._load_manifest(n)["snapshot_id"] for n in tbl.history()
+    )
+    view = maintain_view(
+        tbl,
+        sids,
+        group_cols={"domain": domain_of(F.col("url"))},
+        sum_exprs={"chars": F.length("text")},
+    )
+    return view.select("domain", "n_rows", "chars").orderBy("domain")
+
+
+_SQL_CDC_IVM = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, text, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+state AS (SELECT url, text FROM winners WHERE rn = 1 AND op <> 'delete')
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM state
+GROUP BY 1
+ORDER BY domain
+"""
+
+
 def _link_edges(spark, sf_dir):
     """Deterministic synthetic hyperlink graph over 50 domain nodes,
     derived from events so the DuckDB oracle can rebuild it exactly:
@@ -4436,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_neardup": q_cdc_incremental_neardup,
         "cdc_dml_state": q_cdc_dml_state,
         "cdc_rollback_state": q_cdc_rollback_state,
+        "cdc_ivm_domain_stats": q_cdc_ivm_domain_stats,
         "cdc_merge_into_state": q_cdc_merge_into_state,
         "cdc_change_feed_images": q_cdc_change_feed_images,
         "cdc_wap_state": q_cdc_wap_state,
@@ -4449,7 +4500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lww_latest_event_salted": q_lww_latest_event_salted,
         "lww_with_tombstones": q_lww_with_tombstones,
         "range_join_1day": q_range_join_1day,
-        "semi_join_active_customers": q_semi_join_active_customers,
         # -- tier 3: TPC-H analytical shapes ----------------------------
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4502,6 +4552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_price": q_hist_quantiles_price,
         "multimodal_audio_features": q_multimodal_audio_features,
         # ============ driver correctness window ends here (50) =========
+        "semi_join_active_customers": q_semi_join_active_customers,
         "sessionize_events": q_sessionize_events,
         "anti_join_idle_customers": q_anti_join_idle_customers,
         "left_join_null_gate": q_left_join_null_gate,
@@ -4681,6 +4732,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
         "cdc_rollback_state": _SQL_CDC_STATE,
+        "cdc_ivm_domain_stats": _SQL_CDC_IVM,
         "doc_pii_redact": _SQL_PII_REDACT,
         "page_outlinks": _SQL_PAGE_OUTLINKS,
         "hist_quantiles_price": _sql_hist_quantiles(),
