@@ -138,6 +138,69 @@ FROM daily a JOIN daily b
 
 
 # =====================================================================
+# Point-in-time (AS-OF) join — "the dimension state in effect at each
+# event".  Reference analog: "the release in effect at this event's
+# date" (processing_history.py:121-141), resolved there by correlated
+# per-release-pair BigQuery subqueries; here one keyed shuffle + a
+# linear window scan (operators/joins.py asof_join).  The registered
+# query runs the time-bucketed SKEW path (time_buckets=8) so the
+# driver's hash gate proves the scale variant, not just the plain one
+# (tests/test_asof.py proves they are identical on random data).
+# =====================================================================
+
+def q_asof_purchase_state(spark, sf_dir):
+    from clinvar_ingest_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side unique per (user_id, ts): max event_id wins ties,
+    # its value rides along (same rule both engines)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="pts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        time_buckets=8,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pts").alias("purchase_ts"),
+        "purchase_event_id",
+        "purchase_value",
+    )
+
+
+_SQL_ASOF = """
+WITH p AS (
+  SELECT user_id, ts AS pts,
+         max(event_id) AS purchase_event_id,
+         max_by(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+), l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       p.pts AS purchase_ts, p.purchase_event_id, p.purchase_value
+FROM l ASOF LEFT JOIN p
+  ON l.user_id = p.user_id AND l.ts >= p.pts
+"""
+
+
+# =====================================================================
 # §2.3 J2/J3/J9/J10 — left / semi / anti joins and null gates.
 # Reference: processing_history.py:131-144 (left), 193-226 (exists),
 # 683-692 (NOT EXISTS fence).
@@ -4496,10 +4559,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_change_feed": q_stream_change_feed,
         "ndjson_roundtrip": q_ndjson_roundtrip,
         # -- tier 2: LWW dedup + join operators -------------------------
+        # (lww_latest_event_salted demoted past-window for the as-of
+        # join gate: same LWW mechanism as lww_latest_event, driver-green
+        # r1-r5; keeps tools/check_oracle.py coverage)
         "lww_latest_event": q_lww_latest_event,
-        "lww_latest_event_salted": q_lww_latest_event_salted,
         "lww_with_tombstones": q_lww_with_tombstones,
         "range_join_1day": q_range_join_1day,
+        # point-in-time join, bucketed skew path (operators/joins.py)
+        "asof_purchase_state": q_asof_purchase_state,
         # -- tier 3: TPC-H analytical shapes ----------------------------
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4552,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_price": q_hist_quantiles_price,
         "multimodal_audio_features": q_multimodal_audio_features,
         # ============ driver correctness window ends here (50) =========
+        "lww_latest_event_salted": q_lww_latest_event_salted,
         "semi_join_active_customers": q_semi_join_active_customers,
         "sessionize_events": q_sessionize_events,
         "anti_join_idle_customers": q_anti_join_idle_customers,
@@ -4639,6 +4707,7 @@ FROM (
 ) WHERE rn = 1 AND event_type <> 'error'
 """,
         "range_join_1day": _SQL_RANGE_JOIN,
+        "asof_purchase_state": _SQL_ASOF,
         "semi_join_active_customers": """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -127,3 +127,175 @@ def prioritized_left_join(
     out = out.withColumn(output_col, F.coalesce(*picked))
     keep = [c for c in out.columns if not c.startswith("_m")]
     return out.select(*keep)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    within: Callable[[Column, Column], Column] | None = None,
+    suffix: str = "_r",
+    time_buckets: int | None = None,
+) -> DataFrame:
+    """Point-in-time (AS-OF) left join: for each left row, attach the
+    single right row with equal ``on`` keys and the greatest
+    ``right_time`` <= ``left_time`` (``direction="backward"``,
+    inclusive; ``"forward"`` is the smallest >=). The CDC-tier classic:
+    "state of the dimension as of each event" without an O(|L|*|R|)
+    inequality join.
+
+    Plan shape (the reason this scales): both sides are UNIONED with a
+    side tag, shuffled ONCE on the keys, and a single linear window
+    scan per key picks ``last(right_payload, ignorenulls)`` at each
+    left row — right rows sort before left rows at equal times, so
+    equality is inclusive. No nested-loop, no per-row Python, cost
+    O((|L|+|R|) log p) like any sort-based equi join.
+
+    Hot-key skew (one url/domain carrying 1e8 events would serialize a
+    single window partition): pass ``time_buckets=n`` and the scan is
+    split into n time-range buckets per key — within-bucket window +
+    a per-(key, bucket) carry-in folded over the TINY bucket-summary
+    table (|keys|*n rows), then coalesced. Results are identical (a
+    test asserts it); per-task work drops n-fold. The only driver-side
+    value is a global (min, max) time pair (two scalars).
+
+    ``right`` must be unique per (keys, right_time) — pre-aggregate
+    ties (e.g. max_by) or results are tie-nondeterministic, same as
+    pandas merge_asof / DuckDB ASOF. ``within(l_t, r_t)`` optionally
+    bounds the match (pandas ``tolerance``): if the nearest right row
+    fails it, the row is unmatched — any farther row fails too, so
+    null-out after the scan is exact.
+
+    Reference analog: the reference resolves "the release in effect at
+    this event's date" by BigQuery correlated subqueries per release
+    pair (processing_history.py:121-141); this is the set-oriented
+    equivalent.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    asc = direction == "backward"
+    rcols = (
+        [c for c in right.columns if c not in keys and c != right_time]
+        if right_cols is None
+        else list(right_cols)
+    )
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    pay_fields = [right.schema[right_time]] + [right.schema[c] for c in rcols]
+    pay_type = T.StructType(
+        [T.StructField("_t", pay_fields[0].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rcols]
+    )
+    lrow_type = T.StructType(list(left.schema.fields))
+
+    l_u = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_asof_l"),
+        F.lit(None).cast(pay_type).alias("_asof_p"),
+    )
+    r_u = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        F.lit(None).cast(lrow_type).alias("_asof_l"),
+        F.struct(
+            F.col(right_time).alias("_t"), *[F.col(c) for c in rcols]
+        ).alias("_asof_p"),
+    )
+    u = l_u.unionByName(r_u)
+
+    def _ord(c: str) -> Column:
+        col = F.col(c)
+        return col.asc() if asc else col.desc()
+
+    if time_buckets is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(_ord("_asof_t"), F.col("_asof_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        scanned = u.withColumn(
+            "_asof_m", F.last("_asof_p", ignorenulls=True).over(w)
+        )
+    else:
+        n = int(time_buckets)
+        if n < 2:
+            raise ValueError("time_buckets must be >= 2")
+        # monotone numeric ordinal of the time column (bucketing only
+        # needs order, not the actual instant, so NTZ->TS is fine)
+        t_dt = dict(u.dtypes)["_asof_t"]
+        if t_dt.startswith("timestamp"):
+            t_ord = F.unix_micros(F.col("_asof_t").cast("timestamp")).cast("double")
+        elif t_dt == "date":
+            t_ord = F.unix_date(F.col("_asof_t")).cast("double")
+        else:
+            t_ord = F.col("_asof_t").cast("double")
+        lo, hi = u.agg(F.min(t_ord), F.max(t_ord)).first()
+        width = max(((hi or 0.0) - (lo or 0.0)) / n, 1e-9)
+        bucket = F.least(
+            F.greatest(F.floor((t_ord - F.lit(lo)) / width), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("int")
+        u = u.withColumn("_asof_b", bucket)
+        w_in = (
+            Window.partitionBy(*keys, "_asof_b")
+            .orderBy(_ord("_asof_t"), F.col("_asof_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn(
+            "_asof_in", F.last("_asof_p", ignorenulls=True).over(w_in)
+        )
+        # per-(key, bucket) best right payload; folded so carry[b] is the
+        # best payload in any STRICTLY earlier (later, for forward) bucket
+        ord_key = F.col("_asof_p._t")
+        summary = (
+            u.where(F.col("_asof_side") == 0)
+            .groupBy(*keys, "_asof_b")
+            .agg(
+                (
+                    F.max_by("_asof_p", ord_key)
+                    if asc
+                    else F.min_by("_asof_p", ord_key)
+                ).alias("_asof_best")
+            )
+        )
+        grid = u.select(*keys, "_asof_b").distinct()
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy(_ord("_asof_b"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            grid.join(summary, keys + ["_asof_b"], "left")
+            .withColumn(
+                "_asof_carry",
+                F.last("_asof_best", ignorenulls=True).over(w_carry),
+            )
+            .select(*keys, "_asof_b", "_asof_carry")
+        )
+        scanned = u.join(carry, keys + ["_asof_b"], "left").withColumn(
+            "_asof_m", F.coalesce("_asof_in", "_asof_carry")
+        )
+
+    out = scanned.where(F.col("_asof_side") == 1)
+    m = F.col("_asof_m")
+    if within is not None:
+        m = F.when(within(F.col("_asof_t"), F.col("_asof_m._t")), m)
+    taken = set(left.columns)
+
+    def _out_name(c: str) -> str:
+        return c + suffix if c in taken else c
+
+    return out.select(
+        *[F.col(f"_asof_l.{c}").alias(c) for c in left.columns],
+        m["_t"].alias(_out_name(right_time)),
+        *[m[c].alias(_out_name(c)) for c in rcols],
+    )

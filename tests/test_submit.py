@@ -106,8 +106,9 @@ def test_driver_window_membership_is_pinned():
         # extraction, histogram-quantile sketch
         "cdc_rollback_state", "doc_pii_redact", "page_outlinks",
         "hist_quantiles_price", "multimodal_audio_features",
-        # round-5 third wave: delta-based incremental view maintenance
-        "cdc_ivm_domain_stats",
+        # round-5 third wave: delta-based incremental view maintenance,
+        # point-in-time (AS-OF) join via the bucketed skew path
+        "cdc_ivm_domain_stats", "asof_purchase_state",
     }
     missing = gate_critical - set(w)
     assert not missing, f"gate queries fell out of the driver window: {missing}"
