@@ -3789,6 +3789,188 @@ ORDER BY doc_id
 """
 
 
+# =====================================================================
+# Full-text search layer (operators/search.py): inverted-index build +
+# integer-idf keyword top-k. Engine additions for the webtext corpus —
+# the reference has no search layer.
+# =====================================================================
+
+def q_inverted_index(spark, sf_dir):
+    """token -> (df, cf, top doc, stringified postings). The stop-word
+    df gate (max_df_ratio) runs BEFORE posting collection so skewed
+    heads never build giant arrays; postings stringified because the
+    driver hasher rejects complex columns."""
+    from clinvar_ingest_spark.operators.search import build_inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(d, min_df=3, max_df_ratio=0.8)
+    return idx.select(
+        "token",
+        "df",
+        F.col("cf").cast("long").alias("cf"),
+        "top_doc_id",
+        "top_tf",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "postings",
+                lambda p: F.concat_ws(
+                    ":", p["doc_id"].cast("string"), p["tf"].cast("string")
+                ),
+            ),
+        ).alias("postings_str"),
+    ).orderBy("token")
+
+
+_SQL_INVERTED_INDEX = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+),
+tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+stats AS (
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY token
+),
+kept AS (
+  SELECT token, df, cf FROM stats
+  WHERE df >= 3
+    AND df <= CAST(FLOOR(0.8 * (SELECT count(*) FROM documents)) AS BIGINT)
+),
+top AS (
+  SELECT token, doc_id AS top_doc_id, tf AS top_tf
+  FROM (SELECT token, doc_id, tf,
+               row_number() OVER (PARTITION BY token
+                                  ORDER BY tf DESC, doc_id ASC) AS rn
+        FROM tf) WHERE rn = 1
+),
+post AS (
+  SELECT token,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings_str
+  FROM tf GROUP BY token
+)
+SELECT k.token, k.df, k.cf, t.top_doc_id, t.top_tf, p.postings_str
+FROM kept k JOIN top t USING (token) JOIN post p USING (token)
+ORDER BY k.token
+"""
+
+
+def q_keyword_search_topk(spark, sf_dir):
+    """Top-15 docs for a 3-term query: per-term tf via codegen
+    size(filter(...)) (zero explodes), dfs from ONE aggregate row,
+    integer idf = n_docs // df so scores are exact BIGINTs."""
+    from clinvar_ingest_spark.operators.search import keyword_search
+
+    d = _t(spark, sf_dir, "documents")
+    return keyword_search(d, ["spark", "hash", "window"], k=15)
+
+
+_SQL_KEYWORD_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS ts
+  FROM documents
+),
+tfs AS (
+  SELECT doc_id,
+         len(list_filter(ts, x -> x = 'spark'))  AS tf0,
+         len(list_filter(ts, x -> x = 'hash'))   AS tf1,
+         len(list_filter(ts, x -> x = 'window')) AS tf2
+  FROM toks
+),
+dfs AS (
+  SELECT sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         count(*) AS n FROM tfs
+)
+SELECT doc_id,
+       CAST(tf0 * (n // df0) + tf1 * (n // df1) + tf2 * (n // df2)
+            AS BIGINT) AS score
+FROM tfs, dfs
+WHERE tf0 * (n // df0) + tf1 * (n // df1) + tf2 * (n // df2) > 0
+ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
+# =====================================================================
+# Hashed linear classifier inference (operators/classifier.py): the
+# fastText/VW deploy shape — dim-row weight vector broadcast, corpus
+# never shuffled for scoring, exact integer scores.
+# =====================================================================
+
+def q_quality_classifier_scores(spark, sf_dir):
+    from clinvar_ingest_spark.operators.classifier import (
+        derived_weights,
+        hashed_linear_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = derived_weights(spark, 4096, seed="w0")
+    return hashed_linear_score(d, w, dim=4096).orderBy("doc_id")
+
+
+_SQL_CLASSIFIER = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS fid
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(CAST(('0x' || substr(md5('w0:' || fid), 1, 8)) AS BIGINT)
+                  % 1000001 - 500000) AS BIGINT) AS score
+  FROM feat GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.score, 0) AS score,
+       coalesce(s.score, 0) > 0 AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# =====================================================================
+# Temperature-flattened domain mixture (operators/curation.py
+# temperature_resample): integer quotas from floor(sqrt(mass)) so the
+# sample is bit-identical across engines.
+# =====================================================================
+
+def q_temperature_resample(spark, sf_dir):
+    from clinvar_ingest_spark.operators.curation import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_resample(
+        d, domain_col="source", weight_col="n_chars", target_total=150
+    ).orderBy("source", "rk")
+
+
+_SQL_TEMPERATURE = """
+WITH m AS (
+  SELECT source, CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS BIGINT))) AS BIGINT) AS f
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, (150 * f) // (SELECT CAST(SUM(f) AS BIGINT) FROM m) AS quota
+  FROM m
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS INT) AS rk
+FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+ORDER BY r.source, r.rk
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Interpolated-bigram perplexity filter (KenLM-slot scorer): model
     trained corpus-side, scoring in one Arrow-batched pandas UDF.
@@ -4580,14 +4762,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "corpus_curation_funnel": q_corpus_curation_funnel,
-        # -- round-4 rotation: previously past-window queries earn a
-        # driver-artifact row (VERDICT r3 #7); the five TPC-H/scalar
-        # variants they displaced keep tools/check_oracle.py coverage
-        "warc_roundtrip": q_warc_roundtrip,
+        # -- round-4 rotation: ann_ivf_two_level stays; warc_roundtrip,
+        # pack_sequences, eval_decontamination, canonical_urls earned
+        # their first driver rows in r4 (all green) and rotate
+        # past-window for the round-5 search/classifier/mixture gates
+        # below, keeping tools/check_oracle.py coverage
         "ann_ivf_two_level": q_ann_ivf_two_level,
-        "pack_sequences": q_pack_sequences,
-        "eval_decontamination": q_eval_decontamination,
-        "canonical_urls": q_canonical_urls,
+        # -- round-5 fourth wave: full-text search layer, hashed linear
+        # classifier inference, temperature-flattened domain mixture
+        "inverted_index": q_inverted_index,
+        "keyword_search_topk": q_keyword_search_topk,
+        "quality_classifier_scores": q_quality_classifier_scores,
+        "temperature_resample": q_temperature_resample,
         # -- round-5 new-surface gates (three-clause MERGE, CDF images,
         # WAP, corpus chunk dedup, fixed-point PageRank) sit in-window
         # above; the five demoted multiply-gated variants (sanitize_date,
@@ -4619,6 +4805,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_price": q_hist_quantiles_price,
         "multimodal_audio_features": q_multimodal_audio_features,
         # ============ driver correctness window ends here (50) =========
+        "warc_roundtrip": q_warc_roundtrip,
+        "pack_sequences": q_pack_sequences,
+        "eval_decontamination": q_eval_decontamination,
+        "canonical_urls": q_canonical_urls,
         "lww_latest_event_salted": q_lww_latest_event_salted,
         "semi_join_active_customers": q_semi_join_active_customers,
         "sessionize_events": q_sessionize_events,
@@ -4708,6 +4898,10 @@ FROM (
 """,
         "range_join_1day": _SQL_RANGE_JOIN,
         "asof_purchase_state": _SQL_ASOF,
+        "inverted_index": _SQL_INVERTED_INDEX,
+        "keyword_search_topk": _SQL_KEYWORD_SEARCH,
+        "quality_classifier_scores": _SQL_CLASSIFIER,
+        "temperature_resample": _SQL_TEMPERATURE,
         "semi_join_active_customers": """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)

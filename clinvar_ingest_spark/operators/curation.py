@@ -460,3 +460,60 @@ def stratified_sample(
         .filter(F.col("rk") <= per_stratum)
         .select(id_col, stratum_col, "rk")
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    domain_col: str = "source",
+    weight_col: str | None = None,
+    target_total: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened domain mixture (the data-mixing staple:
+    sample domains ~ mass^alpha with alpha = 0.5 so heavy domains are
+    down-weighted and tail domains up-weighted — e.g. CC-like corpus
+    rebalancing).
+
+    Per-domain mass = sum(weight_col) (or row count, an exact
+    integer); the per-domain quota is the INTEGER
+    ``target_total * floor(sqrt(mass_d)) // sum_d floor(sqrt(mass_d))``
+    and the quota rows are picked by md5-hash order of the id. sqrt is
+    correctly rounded in every IEEE implementation (unlike pow/log),
+    so floor(sqrt(int)) is bit-identical across Python, the JVM, and
+    DuckDB; everything after it is integer arithmetic — quotas, and
+    therefore the sample, are exactly reproducible across engines,
+    partitionings, and replays. alpha other than 0.5: repeated sqrt
+    covers {0.25, 0.5}; arbitrary alpha needs pow() and is
+    engine-deterministic only.
+
+    Plan: one tiny per-domain aggregate (collected: |domains| rows —
+    dimension-scale), quotas broadcast back as a literal map via join,
+    one keyed window for the hash-order pick. Two shuffles total.
+    """
+    mass = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    dom = docs.groupBy(F.col(domain_col).alias("_dom")).agg(
+        mass.cast("long").alias("_mass")
+    )
+    rows = dom.collect()  # |domains| rows: dimension-scale by definition
+    import math
+
+    # int(math.sqrt(...)) == floor of the correctly-rounded IEEE sqrt:
+    # the same value FLOOR(SQRT(x)) yields in DuckDB / the JVM
+    flat = {r["_dom"]: int(math.sqrt(r["_mass"])) for r in rows}
+    tot = sum(flat.values())
+    quota = {
+        d: (target_total * w // tot) if tot > 0 else 0
+        for d, w in flat.items()
+    }
+    qmap = F.create_map(
+        *[x for d, q in sorted(quota.items()) for x in (F.lit(d), F.lit(q))]
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_q", qmap[F.col(domain_col)])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("_q"))
+        .select(id_col, domain_col, "rk")
+    )

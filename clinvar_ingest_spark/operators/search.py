@@ -1,0 +1,145 @@
+"""Full-text search primitives over the document corpus.
+
+* ``build_inverted_index`` — token -> posting-list build, the classic
+  web-index shape.  Three stages, each map-side combinable:
+  (doc, token) term frequencies, document frequencies, then posting
+  collection — with the stop-word df gate applied BEFORE any
+  ``collect_list`` so the skewed heads ('the', punctuation marks) never
+  materialize a giant posting array on one task.
+* ``keyword_search`` — top-k documents for a small bag of query terms.
+  Zero explodes: per-term tf is a codegen ``size(filter(tokens, =))``
+  projection, document frequencies come from ONE global aggregate row,
+  and term weights use truncating integer division (idf ~ N // df) so
+  scores are exact BIGINTs — deterministic across engines and
+  partitionings, no float log in the hot path.
+
+Reference analog: the reference has no search layer (it ships rows to
+BigQuery); these are the engine additions a webtext corpus needs.
+scale: the index build shuffles (token) once and (doc,token) once; the
+search is a scan + TakeOrdered, cost O(|docs| * n_terms).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.functions.text import TOKEN_PATTERN
+
+
+def _tokens(text):
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+    with_postings: bool = True,
+) -> DataFrame:
+    """token -> (df, cf, top_doc_id, top_tf[, postings]).
+
+    ``df``/``cf`` are document/collection frequency; ``top_doc_id`` is
+    the doc with the highest tf (ties -> smallest id).  ``postings``
+    (optional) is the full array<struct<doc_id, tf>> sorted by doc_id.
+
+    ``max_df_ratio`` drops tokens appearing in more than that fraction
+    of documents (stop words / boilerplate punctuation).  The gate runs
+    before posting collection, so the worst-skew keys cost one combined
+    count each, never an array build.
+    """
+    n_docs = docs.count()  # one scalar to the driver
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        # top doc = (tf desc, doc_id asc): max of (tf, -doc_id) struct
+        F.max(F.struct(F.col("tf"), (-F.col("doc_id")).alias("nid"))).alias("_top"),
+    )
+    kept = stats.where(
+        (F.col("df") >= F.lit(int(min_df)))
+        & (F.col("df") <= F.lit(int(max_df_ratio * n_docs)))
+    ).select(
+        "token",
+        "df",
+        "cf",
+        (-F.col("_top.nid")).alias("top_doc_id"),
+        F.col("_top.tf").alias("top_tf"),
+    )
+    if not with_postings:
+        return kept
+    postings = (
+        tf.join(kept.select("token"), "token")  # df gate BEFORE collect
+        .groupBy("token")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+            ).alias("postings")
+        )
+    )
+    return kept.join(postings, "token")
+
+
+def keyword_search(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs by summed tf x idf over ``terms``.
+
+    idf is the truncating integer ``n_docs // df`` (0 when df is 0 or
+    the term hits every doc carries weight 1): monotone in rarity and
+    EXACT — the score column is a BIGINT, so ranking is bit-stable
+    across engines, partition counts, and replays.  Tie order is
+    (score desc, doc_id asc).
+
+    Plan: one projection computes every per-term tf (codegen
+    ``size(filter(...))``, no explode), one global aggregate row yields
+    the dfs (collected: len(terms) scalars), then a TakeOrdered top-k.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+    # NB: the closure must stay single-arg — a `lambda x, t=t:` default
+    # makes PySpark's HOF arity sniffing pass (element, index) and bind
+    # the term to the array index
+    def _tf(term):
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    scored0 = toks.select("doc_id", *tf_cols)
+    dfs = scored0.agg(
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ]
+    ).first()
+    weights = [
+        (n_docs // dfs[f"_df{i}"]) if dfs[f"_df{i}"] else 0
+        for i in range(len(terms))
+    ]
+    score = None
+    for i in range(len(terms)):
+        part = F.col(f"_tf{i}") * F.lit(int(weights[i]))
+        score = part if score is None else score + part
+    return (
+        scored0.select("doc_id", score.cast("long").alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,150 @@
+"""Full-text search layer (operators/search.py), hashed linear
+classifier (operators/classifier.py), and temperature mixture
+(operators/curation.py temperature_resample)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinvar_ingest_spark.operators.classifier import (
+    derived_weights,
+    hashed_linear_score,
+)
+from clinvar_ingest_spark.operators.curation import temperature_resample
+from clinvar_ingest_spark.operators.search import (
+    build_inverted_index,
+    keyword_search,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat cat cat"),
+            (4, ""),
+            (5, "dog mat dog"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_inverted_index_postings(spark, corpus):
+    idx = build_inverted_index(corpus).orderBy("token")
+    rows = {r["token"]: r for r in idx.collect()}
+    cat = rows["cat"]
+    assert (cat["df"], cat["cf"]) == (2, 4)          # docs 1, 3; 1+3 occurrences
+    assert (cat["top_doc_id"], cat["top_tf"]) == (3, 3)
+    assert [(p["doc_id"], p["tf"]) for p in cat["postings"]] == [(1, 1), (3, 3)]
+    the = rows["the"]
+    assert (the["df"], the["cf"]) == (2, 3)
+    assert (the["top_doc_id"], the["top_tf"]) == (1, 2)
+
+
+def test_inverted_index_df_gates(spark, corpus):
+    # min_df=2 drops singletons; max_df_ratio=0.5 (cap 2 of 5 docs)
+    # keeps df<=2 tokens only — 'sat' df=2 stays, 'on' df=1 dropped
+    idx = build_inverted_index(corpus, min_df=2, max_df_ratio=0.5)
+    toks = {r["token"] for r in idx.collect()}
+    assert "sat" in toks and "cat" in toks
+    assert "on" not in toks and "mat" in toks
+
+
+def test_inverted_index_top_tiebreak(spark):
+    # equal tf -> smallest doc_id wins
+    d = spark.createDataFrame(
+        [(9, "zig"), (4, "zig")], "doc_id long, text string"
+    )
+    r = build_inverted_index(d).first()
+    assert (r["top_doc_id"], r["top_tf"]) == (4, 1)
+
+
+def test_keyword_search_ranking(spark, corpus):
+    # 'cat' df=2 -> w=2; 'dog' df=2 -> w=2 (5 docs)
+    out = keyword_search(corpus, ["cat", "dog"], k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores == {3: 6, 5: 4, 1: 2, 2: 2}
+    # tie between docs 1 and 2 resolves doc_id-asc in the emitted order
+    order = [r["doc_id"] for r in out]
+    assert order == [3, 5, 1, 2]
+
+
+def test_keyword_search_k_and_absent_term(spark, corpus):
+    out = keyword_search(corpus, ["cat", "unicorn"], k=1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3
+    with pytest.raises(ValueError):
+        keyword_search(corpus, [])
+
+
+def test_classifier_exact_and_empty_doc(spark, corpus):
+    dim = 512
+    w = derived_weights(spark, dim)
+    got = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in hashed_linear_score(corpus, w, dim=dim).collect()
+    }
+    # recompute doc 3 by hand: 3 x weight('cat')
+    import hashlib
+
+    def fid(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    def wt(i):
+        return (
+            int(hashlib.md5(f"w0:{i}".encode()).hexdigest()[:8], 16) % 1000001
+            - 500000
+        )
+
+    assert got[3][0] == 3 * wt(fid("cat"))
+    assert got[4] == (0, False)  # empty doc scores exactly bias(0)
+    assert all((s > 0) == k for s, k in got.values())
+
+
+def test_classifier_dim_cap(spark, corpus):
+    w = derived_weights(spark, 8)
+    with pytest.raises(ValueError):
+        hashed_linear_score(corpus, w, dim=1 << 30, max_broadcast_dim=1 << 20)
+
+
+def test_temperature_resample_quotas(spark):
+    # masses 10000 and 100: sqrt-flattening gives 100:10 -> quotas
+    # 110*100//110=100 and 110*10//110=10 of target 110
+    rows = [(i, "big", 100) for i in range(100)] + [
+        (1000 + i, "tail", 1) for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = temperature_resample(
+        d, domain_col="source", weight_col="n_chars", target_total=110
+    )
+    counts = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert counts == {"big": 100, "tail": 10}
+    # deterministic: same pick on re-run, rk dense 1..quota
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(
+            tuple,
+            temperature_resample(
+                d, domain_col="source", weight_col="n_chars", target_total=110
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_temperature_resample_count_mass(spark):
+    # no weight_col -> mass = row count; quota never exceeds domain size
+    rows = [(i, "a") for i in range(9)] + [(100, "b")]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(d, domain_col="source", target_total=4).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    # floor(sqrt(9))=3, floor(sqrt(1))=1, tot=4 -> quotas 3 and 1
+    assert per == {"a": 3, "b": 1}
+    assert math.isqrt(9) == 3  # documents the sqrt-floor identity used

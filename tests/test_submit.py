@@ -90,9 +90,10 @@ def test_driver_window_membership_is_pinned():
         "exact_dedup_docs", "minhash_lsh_dedup", "near_dup_clusters",
         "simhash_near_dup", "ann_ivf", "ann_ivf_kmeans",
         "corpus_curation_funnel",
-        # round-4 rotation (first-ever driver rows)
-        "warc_roundtrip", "ann_ivf_two_level", "pack_sequences",
-        "eval_decontamination", "canonical_urls",
+        # round-4 rotation survivor (warc_roundtrip / pack_sequences /
+        # eval_decontamination / canonical_urls earned their r4 rows and
+        # rotated past-window for the round-5 fourth wave)
+        "ann_ivf_two_level",
         # round-5 rotation (first-ever driver rows): schema evolution,
         # PQ/IVF-PQ ANN, z-order, HLL, bigram LM, real PNG decode
         "cdc_rename_state", "bigram_freq_score", "ann_pq_topk",
@@ -109,6 +110,10 @@ def test_driver_window_membership_is_pinned():
         # round-5 third wave: delta-based incremental view maintenance,
         # point-in-time (AS-OF) join via the bucketed skew path
         "cdc_ivm_domain_stats", "asof_purchase_state",
+        # round-5 fourth wave: search layer, classifier inference,
+        # temperature mixture
+        "inverted_index", "keyword_search_topk",
+        "quality_classifier_scores", "temperature_resample",
     }
     missing = gate_critical - set(w)
     assert not missing, f"gate queries fell out of the driver window: {missing}"
