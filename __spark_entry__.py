@@ -2978,6 +2978,50 @@ ORDER BY domain
 """
 
 
+def q_cdc_ivm_index(spark, sf_dir):
+    """Incrementally-maintained inverted index: (token, df, cf) kept
+    exact across the 3-batch CDC replay purely from change-feed row
+    images (operators/search.py index_deltas — the counting algorithm
+    applied to the search layer). The oracle rebuilds the index from
+    the final LWW state, so a missed preimage, wrong tombstone sign,
+    or zero-df token not dropped is a hash mismatch."""
+    from clinvar_ingest_spark.operators.search import maintain_index
+
+    tbl = _run_cdc(spark, sf_dir, n_batches=3, return_table=True)
+    sids = sorted(
+        tbl._load_manifest(n)["snapshot_id"] for n in tbl.history()
+    )
+    return maintain_index(tbl, sids, text_col="text").orderBy("token")
+
+
+_SQL_CDC_IVM_INDEX = r"""
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, text, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+state AS (SELECT url, text FROM winners WHERE rn = 1 AND op <> 'delete'),
+tok AS (
+  SELECT url,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM state
+)
+SELECT token, CAST(count(DISTINCT url) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM tok GROUP BY token ORDER BY token
+"""
+
+
 def _link_edges(spark, sf_dir):
     """Deterministic synthetic hyperlink graph over 50 domain nodes,
     derived from events so the DuckDB oracle can rebuild it exactly:
@@ -4732,6 +4776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dml_state": q_cdc_dml_state,
         "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_ivm_domain_stats": q_cdc_ivm_domain_stats,
+        "cdc_ivm_index": q_cdc_ivm_index,
         "cdc_merge_into_state": q_cdc_merge_into_state,
         "cdc_change_feed_images": q_cdc_change_feed_images,
         "cdc_wap_state": q_cdc_wap_state,
@@ -4745,7 +4790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join gate: same LWW mechanism as lww_latest_event, driver-green
         # r1-r5; keeps tools/check_oracle.py coverage)
         "lww_latest_event": q_lww_latest_event,
-        "lww_with_tombstones": q_lww_with_tombstones,
         "range_join_1day": q_range_join_1day,
         # point-in-time join, bucketed skew path (operators/joins.py)
         "asof_purchase_state": q_asof_purchase_state,
@@ -4805,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_price": q_hist_quantiles_price,
         "multimodal_audio_features": q_multimodal_audio_features,
         # ============ driver correctness window ends here (50) =========
+        "lww_with_tombstones": q_lww_with_tombstones,
         "warc_roundtrip": q_warc_roundtrip,
         "pack_sequences": q_pack_sequences,
         "eval_decontamination": q_eval_decontamination,
@@ -4898,6 +4943,7 @@ FROM (
 """,
         "range_join_1day": _SQL_RANGE_JOIN,
         "asof_purchase_state": _SQL_ASOF,
+        "cdc_ivm_index": _SQL_CDC_IVM_INDEX,
         "inverted_index": _SQL_INVERTED_INDEX,
         "keyword_search_topk": _SQL_KEYWORD_SEARCH,
         "quality_classifier_scores": _SQL_CLASSIFIER,

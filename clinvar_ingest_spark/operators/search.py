@@ -143,3 +143,69 @@ def keyword_search(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------
+# Incremental index maintenance over the CDC change feed: df and cf
+# are counting aggregates, so the inverted index is EXACTLY
+# delta-maintainable by the same signed-delta algebra as
+# operators/ivm.py (Gupta et al. SIGMOD '93) — an insert image adds
+# (+1 df, +tf cf) for each distinct token in the doc, a delete image
+# subtracts, and tokens whose df reaches 0 drop out. Refresh cost is
+# O(tokens in CHANGED docs), zero base-table reads.
+# ---------------------------------------------------------------------
+
+_IVM_PLUS = ("insert", "update_postimage")
+
+
+def index_deltas(images: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, n_rows=df delta, cf=cf delta) for one image batch.
+
+    Per image row, one codegen projection builds the distinct
+    (token, tf) pairs (nested HOF, no per-row Python), one explode
+    emits them, one map-side-combinable sum folds the batch. The
+    output shape matches the maintained state, so batches fold with
+    ``ivm.apply_deltas(state, deltas, keys=["token"])``.
+    """
+    sign = F.when(
+        F.col("_change_type").isin(*_IVM_PLUS), F.lit(1)
+    ).otherwise(F.lit(-1))
+    toks = _tokens(F.col(text_col))
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
+        ),
+    )
+    return (
+        images.select(sign.alias("_s"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.token").alias("token"))
+        .agg(
+            F.sum("_s").cast("long").alias("n_rows"),
+            F.sum(F.col("_s") * F.col("p.tf")).cast("long").alias("cf"),
+        )
+    )
+
+
+def maintain_index(
+    table, snapshot_ids: list[int], text_col: str = "text"
+) -> DataFrame:
+    """Replay the (token, df, cf) index across consecutive snapshots
+    purely from change feeds — the search-layer twin of
+    ``ivm.maintain_view``. Returns the index of the FINAL snapshot,
+    built from O(total changed-doc tokens) work; df is exposed under
+    its own name (internally maintained as the IVM count column)."""
+    from clinvar_ingest_spark.operators.ivm import ROWS_COL, apply_deltas
+
+    state: DataFrame | None = None
+    for a, b in zip(snapshot_ids, snapshot_ids[1:]):
+        deltas = index_deltas(table.change_feed(a, b), text_col)
+        state = deltas if state is None else apply_deltas(
+            state, deltas, keys=["token"]
+        )
+    if state is None:
+        raise ValueError("need at least two snapshot ids")
+    return state.where(F.col(ROWS_COL) > 0).select(
+        "token", F.col(ROWS_COL).alias("df"), "cf"
+    )

@@ -148,3 +148,120 @@ def test_temperature_resample_count_mass(spark):
     # floor(sqrt(9))=3, floor(sqrt(1))=1, tot=4 -> quotas 3 and 1
     assert per == {"a": 3, "b": 1}
     assert math.isqrt(9) == 3  # documents the sqrt-floor identity used
+
+
+# ---------------------------------------------------------------------
+# Incremental inverted-index maintenance (search.py index_deltas /
+# maintain_index): delta-maintained (token, df, cf) must equal a full
+# rebuild from the final table state — including updates that change a
+# doc's tokens (preimage decrements), deletes that zero out a token
+# (it must vanish), and multi-batch folds.
+# ---------------------------------------------------------------------
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from clinvar_ingest_spark.operators.search import (
+    _tokens,
+    index_deltas,
+    maintain_index,
+)
+from clinvar_ingest_spark.tables import SnapshotTable
+
+TS = dt.datetime(2020, 1, 1)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, seq long, text string, op string"
+    )
+
+
+def _index_table(spark, path):
+    t = SnapshotTable(spark, path, "url", 4).create(_SCHEMA)
+    t.merge_upsert(
+        _batch(
+            spark,
+            [
+                ("u1", TS, 1, "cat cat dog", "insert"),
+                ("u2", TS, 2, "dog bird", "insert"),
+            ],
+        )
+    )
+    t.merge_upsert(
+        _batch(
+            spark,
+            [
+                # u1 rewritten: 'cat' df drops by 1, 'fish' appears
+                ("u1", TS + dt.timedelta(1), 3, "fish dog", "update"),
+                ("u3", TS, 4, "cat", "insert"),
+            ],
+        )
+    )
+    t.merge_upsert(
+        _batch(
+            spark,
+            [
+                ("u3", TS + dt.timedelta(2), 5, None, "delete"),  # 'cat' zeroes
+            ],
+        )
+    )
+    return t
+
+
+def _full_index(t):
+    toked = t.read().select(
+        "url", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toked.groupBy("token")
+        .agg(
+            F.count_distinct("url").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("cf"),
+        )
+    )
+
+
+def test_maintain_index_equals_rebuild(spark, tmp_table_dir):
+    t = _index_table(spark, tmp_table_dir)
+    sids = sorted(t._load_manifest(n)["snapshot_id"] for n in t.history())
+    got = {
+        r["token"]: (r["df"], r["cf"])
+        for r in maintain_index(t, sids).collect()
+    }
+    want = {
+        r["token"]: (r["df"], r["cf"]) for r in _full_index(t).collect()
+    }
+    assert got == want
+    assert got == {"fish": (1, 1), "dog": (2, 2), "bird": (1, 1)}
+    assert "cat" not in got  # zero-df token dropped, not lingering
+
+
+def test_index_deltas_signs(spark):
+    images = spark.createDataFrame(
+        [
+            ("a a b", "insert"),
+            ("a c", "update_preimage"),
+            ("b", "update_postimage"),
+            ("c c", "delete"),
+        ],
+        "text string, _change_type string",
+    )
+    d = {
+        r["token"]: (r["n_rows"], r["cf"])
+        for r in index_deltas(images).collect()
+    }
+    # a: +1 insert (tf2), -1 preimage (tf1) -> df 0, cf +1
+    # b: +1 insert + 1 postimage -> df 2, cf 2
+    # c: -1 preimage -1 delete -> df -2, cf -3
+    assert d == {"a": (0, 1), "b": (2, 2), "c": (-2, -3)}

@@ -109,7 +109,7 @@ def test_driver_window_membership_is_pinned():
         "hist_quantiles_price", "multimodal_audio_features",
         # round-5 third wave: delta-based incremental view maintenance,
         # point-in-time (AS-OF) join via the bucketed skew path
-        "cdc_ivm_domain_stats", "asof_purchase_state",
+        "cdc_ivm_domain_stats", "cdc_ivm_index", "asof_purchase_state",
         # round-5 fourth wave: search layer, classifier inference,
         # temperature mixture
         "inverted_index", "keyword_search_topk",
