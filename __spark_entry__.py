@@ -4015,6 +4015,111 @@ ORDER BY r.source, r.rk
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): 8 merge
+    steps, each one map-side-combinable pair-count aggregate over the
+    DISTINCT-word table plus a literal-replace merge application. The
+    oracle unrolls the identical iterative algorithm as 8 chained CTEs
+    (the PageRank precedent), so the full training trajectory — pair
+    argmaxes, tie-breaks, greedy left-to-right merge application — is
+    value-hash-gated across engines."""
+    from clinvar_ingest_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=8).orderBy("step")
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE inference: segment every document with the 8 learned merges
+    (nested literal replaces inside one transform — pure codegen) and
+    count subword tokens per doc. Train + apply, end-to-end."""
+    from clinvar_ingest_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(d, n_merges=8).orderBy("step").collect()
+    ]
+    return (
+        bpe_segment(d, merges)
+        .select(
+            "doc_id", F.size("subwords").cast("long").alias("n_subwords")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB mirror of the BPE merge loop: seq{i} is the
+    per-word symbol string after i merges, b{i} the argmax pair of
+    step i. \\x1f fences symbols exactly as operators/bpe.py does, and
+    DuckDB's replace() shares Spark's greedy left-to-right
+    non-overlapping semantics, so the trajectories are identical."""
+    S = "\x1f"
+    parts = [
+        f"""WITH wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  GROUP BY word
+),
+seq0 AS (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', '{S}\\1{S}', 'g') AS seq
+  FROM wf
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f""",
+pc{i} AS (
+  SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq, string_split(trim(seq, '{S}'), '{S}{S}') AS toks
+        FROM seq{i - 1}),
+       unnest(range(1, len(toks))) AS r(i)
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+  FROM pc{i} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+seq{i} AS (
+  SELECT word, freq,
+         replace(seq, '{S}' || lhs || '{S}{S}' || rhs || '{S}',
+                 '{S}' || merged || '{S}') AS seq
+  FROM seq{i - 1} CROSS JOIN b{i}
+)"""
+        )
+    return "".join(parts)
+
+
+_SQL_BPE_MERGES = _bpe_oracle_ctes(8) + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS INT) AS step, lhs, rhs, merged, pair_count FROM b{i}"
+    for i in range(1, 9)
+) + "\nORDER BY step"
+
+
+_SQL_BPE_TOKEN_COUNTS = _bpe_oracle_ctes(8) + f""",
+final AS (
+  SELECT word,
+         CAST(len(string_split(trim(seq, '\x1f'), '\x1f\x1f')) AS BIGINT)
+           AS n_toks
+  FROM seq8
+),
+docw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+dw AS (
+  SELECT d.doc_id, f.n_toks FROM docw d JOIN final f USING (word)
+)
+SELECT doc.doc_id, CAST(coalesce(sum(dw.n_toks), 0) AS BIGINT) AS n_subwords
+FROM documents doc LEFT JOIN dw ON doc.doc_id = dw.doc_id
+GROUP BY doc.doc_id
+ORDER BY doc.doc_id"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Interpolated-bigram perplexity filter (KenLM-slot scorer): model
     trained corpus-side, scoring in one Arrow-batched pandas UDF.
@@ -4803,7 +4908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_near_dup": q_simhash_near_dup,
-        "ann_ivf": q_ann_ivf,
+        # distributed BPE tokenizer training (iterative argmax-merge
+        # loop, unrolled-CTE oracle; ann_ivf demoted past-window — its
+        # IVF mechanism stays multiply-gated by ann_ivf_kmeans,
+        # ann_ivf_two_level, and ann_ivf_pq, all in-window)
+        "bpe_merges": q_bpe_merges,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "corpus_curation_funnel": q_corpus_curation_funnel,
         # -- round-4 rotation: ann_ivf_two_level stays; warc_roundtrip,
@@ -4849,6 +4958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_price": q_hist_quantiles_price,
         "multimodal_audio_features": q_multimodal_audio_features,
         # ============ driver correctness window ends here (50) =========
+        "ann_ivf": q_ann_ivf,
+        "bpe_token_counts": q_bpe_token_counts,
         "lww_with_tombstones": q_lww_with_tombstones,
         "warc_roundtrip": q_warc_roundtrip,
         "pack_sequences": q_pack_sequences,
@@ -4948,6 +5059,8 @@ FROM (
         "keyword_search_topk": _SQL_KEYWORD_SEARCH,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "temperature_resample": _SQL_TEMPERATURE,
+        "bpe_merges": _SQL_BPE_MERGES,
+        "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,
         "semi_join_active_customers": """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -88,7 +88,7 @@ def test_driver_window_membership_is_pinned():
         "stream_change_feed",
         # flagship LLM ops
         "exact_dedup_docs", "minhash_lsh_dedup", "near_dup_clusters",
-        "simhash_near_dup", "ann_ivf", "ann_ivf_kmeans",
+        "simhash_near_dup", "bpe_merges", "ann_ivf_kmeans",
         "corpus_curation_funnel",
         # round-4 rotation survivor (warc_roundtrip / pack_sequences /
         # eval_decontamination / canonical_urls earned their r4 rows and
