@@ -3022,6 +3022,26 @@ FROM tok GROUP BY token ORDER BY token
 """
 
 
+def q_cdc_purge_state(spark, sf_dir):
+    """GDPR right-to-be-forgotten through the CDC pipeline
+    (tables.py purge_key): after the 3-batch replay, two urls are
+    physically purged from EVERY snapshot — bucket-pruned candidate
+    files rewritten by executor tasks, manifests remapped in place
+    under the commit lock, old files unlinked. The returned head state
+    must equal the LWW replay minus the purged keys; pytest
+    additionally proves historical snapshots, tags, and on-disk bytes
+    are scrubbed (tests/test_purge.py)."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=3, return_table=True)
+    for url in _PURGED_URLS:
+        tbl.purge_key(url)
+    return (
+        tbl.read().select("url", "seq", "text").orderBy("url")
+    )
+
+
+_PURGED_URLS = ["https://d0.site/u0", "https://d6.site/u13"]
+
+
 def _link_edges(spark, sf_dir):
     """Deterministic synthetic hyperlink graph over 50 domain nodes,
     derived from events so the DuckDB oracle can rebuild it exactly:
@@ -4847,6 +4867,13 @@ WHERE rn = 1 AND op <> 'delete'
 ORDER BY url
 """
 
+_SQL_CDC_PURGE = _SQL_CDC_STATE.replace(
+    "WHERE rn = 1 AND op <> 'delete'",
+    "WHERE rn = 1 AND op <> 'delete'\n  AND url NOT IN ("
+    + ", ".join(f"'{u}'" for u in _PURGED_URLS)
+    + ")",
+)
+
 
 # =====================================================================
 # driver entry points
@@ -4885,6 +4912,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_state": q_cdc_merge_into_state,
         "cdc_change_feed_images": q_cdc_change_feed_images,
         "cdc_wap_state": q_cdc_wap_state,
+        # GDPR purge across history (inverted_index demoted past-window:
+        # its df/cf mechanism is multiply-gated in-window by
+        # cdc_ivm_index and keyword_search_topk)
+        "cdc_purge_state": q_cdc_purge_state,
         "snapshot_changes": q_snapshot_changes,
         "tree_disassemble": q_tree_disassemble,
         "event_time_windows": q_event_time_windows,
@@ -4923,7 +4954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_two_level": q_ann_ivf_two_level,
         # -- round-5 fourth wave: full-text search layer, hashed linear
         # classifier inference, temperature-flattened domain mixture
-        "inverted_index": q_inverted_index,
         "keyword_search_topk": q_keyword_search_topk,
         "quality_classifier_scores": q_quality_classifier_scores,
         "temperature_resample": q_temperature_resample,
@@ -4958,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles_price": q_hist_quantiles_price,
         "multimodal_audio_features": q_multimodal_audio_features,
         # ============ driver correctness window ends here (50) =========
+        "inverted_index": q_inverted_index,
         "ann_ivf": q_ann_ivf,
         "bpe_token_counts": q_bpe_token_counts,
         "lww_with_tombstones": q_lww_with_tombstones,
@@ -5154,6 +5185,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
         "cdc_rollback_state": _SQL_CDC_STATE,
+        "cdc_purge_state": _SQL_CDC_PURGE,
         "cdc_ivm_domain_stats": _SQL_CDC_IVM,
         "doc_pii_redact": _SQL_PII_REDACT,
         "page_outlinks": _SQL_PAGE_OUTLINKS,

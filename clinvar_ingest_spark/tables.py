@@ -26,6 +26,7 @@ on plain Parquet + JSON manifests:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -100,6 +101,14 @@ class CommitResult:
     n_deletes: int
     n_rows_after: int
     properties: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PurgeResult:
+    rows_removed: int
+    files_rewritten: int
+    files_dropped: int
+    manifests_updated: int
 
 
 class SnapshotTable:
@@ -2311,6 +2320,200 @@ class SnapshotTable:
                 except OSError:
                     pass
         return {"removed": removed, "kept": kept, "snapshots": len(chain)}
+
+    def purge_key(self, value) -> "PurgeResult":
+        """GDPR right-to-be-forgotten: physically remove every row for
+        ``key_col == value`` from EVERY reachable snapshot — committed
+        history, tags, and staged (WAP) manifests alike — not just the
+        head. Iceberg can only purge history by expiring snapshots;
+        because this engine owns its manifests, it rewrites them in
+        place instead, so snapshot ids, parent links, tags, lineage,
+        and time travel all survive with the key excised.
+
+        Mechanics: the key's bucket is computable under every bucket
+        spec in history (partition evolution included), so candidates
+        are O(#snapshots) files, never a table scan. Each candidate is
+        rewritten by an executor task (pyarrow read → filter → write at
+        a final path in the SAME ``s{sid}-`` epoch dir, preserving
+        write-epoch schema resolution); files whose every row was the
+        key are dropped. Under the commit lock the manifest chain is
+        re-resolved (a commit that landed mid-rewrite and copied old
+        file refs forward still gets remapped), every manifest's bucket
+        lists are swapped old→new with ``n_rows`` adjusted exactly, the
+        head manifest logs an md5 audit entry (never the key itself),
+        and only then are the old files unlinked. Bloom sidecars keep
+        irreversible hashed bits only and stay conservative ("maybe
+        contains" → bucket read finds nothing), so they need no
+        rebuild. Keys re-inserted by commits AFTER the purge began are
+        new data and are not covered — re-run to purge them.
+
+        scale: one tiny Spark job computes the bucket per distinct
+        bucket spec (≤ #specs rows collected); the rewrite is one task
+        per candidate file; the serial section under the lock is pure
+        manifest JSON (metadata-sized).
+        """
+        if value is None:
+            raise ValueError("cannot purge a null key")
+        head = self.current_manifest()
+        if head is None:
+            raise ValueError(f"table {self.path} does not exist")
+
+        def _reachable() -> list[dict[str, Any]]:
+            names = list(self.history()) + [
+                n for n in self._read_staged().values()
+            ]
+            out, seen = [], set()
+            for n in names:
+                if n in seen:
+                    continue
+                seen.add(n)
+                try:
+                    out.append(self._load_manifest(n))
+                except OSError:
+                    pass
+            return out
+
+        manifests = _reachable()
+        nb_specs = sorted(
+            {int(m.get("n_buckets", self.n_buckets)) for m in manifests}
+        )
+        key_field = next(
+            f for f in T.StructType.fromJson(head["schema"]).fields
+            if f.name == self.key_col
+        )
+        one = self.spark.createDataFrame(
+            [(value,)], T.StructType([key_field])
+        )
+        brow = one.select(
+            *[bucket_expr(self.key_col, n).alias(f"b{n}") for n in nb_specs]
+        ).collect()[0]
+        bucket_of = {nb: int(brow[f"b{nb}"]) for nb in nb_specs}
+        candidates = sorted(
+            {
+                f
+                for m in manifests
+                for f in m["buckets"].get(
+                    str(bucket_of[int(m.get("n_buckets", self.n_buckets))]),
+                    [],
+                )
+            }
+        )
+        rewrites: dict[str, tuple[str | None, int]] = {}
+        if candidates:
+            key_name = self.key_col  # key col is rename-protected
+
+            def _rewrite(batches):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                for pdf in batches:
+                    out = []
+                    for path in pdf["path"]:
+                        t = pq.read_table(path)
+                        mask = pc.fill_null(
+                            pc.not_equal(
+                                t.column(key_name), pa.scalar(value)
+                            ),
+                            True,
+                        )
+                        kept = t.filter(mask)
+                        removed = t.num_rows - kept.num_rows
+                        if removed == 0:
+                            out.append((path, path, 0))
+                        elif kept.num_rows == 0:
+                            out.append((path, None, removed))
+                        else:
+                            new = os.path.join(
+                                os.path.dirname(path),
+                                f"purge-{uuid.uuid4().hex[:8]}.parquet",
+                            )
+                            pq.write_table(kept, new)
+                            out.append((path, new, removed))
+                    import pandas as pd
+
+                    yield pd.DataFrame(
+                        out, columns=["old", "new", "removed"]
+                    )
+
+            res = (
+                self.spark.createDataFrame(
+                    [(p,) for p in candidates], "path string"
+                )
+                .repartition(min(len(candidates), 64))
+                .mapInPandas(_rewrite, "old string, new string, removed long")
+                .collect()
+            )
+            rewrites = {
+                r["old"]: (r["new"], int(r["removed"])) for r in res
+            }
+
+        rows_removed = sum(rm for _n, rm in rewrites.values())
+        changed = {o: n for o, (n, rm) in rewrites.items() if rm > 0}
+        if not changed:
+            return PurgeResult(0, 0, 0, 0)
+
+        files_rewritten = sum(1 for n in changed.values() if n is not None)
+        files_dropped = sum(1 for n in changed.values() if n is None)
+        manifests_updated = 0
+        lock = self._acquire_lock()
+        try:
+            head_name = self._read_ptr()
+            for m in _reachable():
+                # exact per-manifest adjustment: sum removed over the
+                # old files THIS manifest referenced (pre-remap lists)
+                removed_here = sum(
+                    rewrites[f][1]
+                    for fs in m["buckets"].values()
+                    for f in fs
+                    if f in rewrites
+                )
+                new_buckets: dict[str, list[str]] = {}
+                touched = False
+                for b, files in m["buckets"].items():
+                    kept_files = []
+                    for f in files:
+                        if f in changed:
+                            touched = True
+                            if changed[f] is not None:
+                                kept_files.append(changed[f])
+                        else:
+                            kept_files.append(f)
+                    if kept_files:
+                        new_buckets[b] = kept_files
+                if not touched and m["_name"] != head_name:
+                    continue
+                m["buckets"] = new_buckets
+                stats = dict(m.get("stats", {}))
+                if "n_rows" in stats:
+                    stats["n_rows"] = int(stats["n_rows"]) - removed_here
+                m["stats"] = stats
+                if m["_name"] == head_name:
+                    log = list(m.get("purges", []))
+                    log.append(
+                        hashlib.md5(str(value).encode()).hexdigest()
+                    )
+                    m["purges"] = log
+                name = m.pop("_name")
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.join(self.path, _MANIFESTS)
+                )
+                with os.fdopen(fd, "w") as f:
+                    json.dump(m, f)
+                os.replace(
+                    tmp, os.path.join(self.path, _MANIFESTS, name)
+                )
+                manifests_updated += 1
+            for old in changed:
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
+        finally:
+            self._release_lock(lock)
+        return PurgeResult(
+            rows_removed, files_rewritten, files_dropped, manifests_updated
+        )
 
     def drop(self):
         if os.path.isdir(self.path):

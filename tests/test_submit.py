@@ -112,7 +112,7 @@ def test_driver_window_membership_is_pinned():
         "cdc_ivm_domain_stats", "cdc_ivm_index", "asof_purchase_state",
         # round-5 fourth wave: search layer, classifier inference,
         # temperature mixture
-        "inverted_index", "keyword_search_topk",
+        "cdc_purge_state", "keyword_search_topk",
         "quality_classifier_scores", "temperature_resample",
     }
     missing = gate_critical - set(w)
