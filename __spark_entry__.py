@@ -813,6 +813,59 @@ FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id
 """
 
 
+def q_doc_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (the C4/CCNet nav-bar /
+    cookie-banner / footer scrub): documents are made multi-line by a
+    deterministic replace(' data ' -> newline) — replace() is leftmost
+    non-overlapping in both engines — then any non-blank line shared by
+    MORE than 3 distinct documents is dropped from EVERY document, with
+    per-document line order preserved and blank lines kept as structure
+    (operators/curation.py remove_boilerplate_lines). Complements
+    chunk_dedup_docs, which keeps a repeated chunk's FIRST occurrence."""
+    from clinvar_ingest_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ml = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" data "), F.lit("\n")).alias("text"),
+    )
+    out = remove_boilerplate_lines(ml, max_line_df=3)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("clean_text").alias("clean_fp")
+    ).orderBy("doc_id")
+
+
+_SQL_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(replace(text, ' data ', chr(10)), chr(10)) AS arr
+  FROM documents
+),
+l AS (
+  SELECT doc_id, i AS pos, arr[i+1] AS line
+  FROM d, UNNEST(generate_series(0, len(arr)-1)) AS t(i)
+),
+b AS (
+  SELECT line FROM l WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) > 3
+),
+k AS (SELECT l.* FROM l ANTI JOIN b USING (line)),
+r AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(arr) AS n_lines,
+       coalesce(n_kept, 0) AS n_kept,
+       md5(coalesce(clean_text, '')) AS clean_fp
+FROM d LEFT JOIN r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_doc_nfc_normalize(spark, sf_dir):
     """Unicode NFC normalization before fingerprinting: each doc is
     suffixed with a decomposed 'café' (e + COMBINING ACUTE), normalized
@@ -5036,6 +5089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_nfc_normalize": q_doc_nfc_normalize,
+        "doc_boilerplate_removal": q_doc_boilerplate,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5135,6 +5189,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "doc_fingerprint": _SQL_FINGERPRINT,
         "chunk_dedup_docs": _SQL_CHUNK_DEDUP,
         "doc_nfc_normalize": _SQL_NFC,
+        "doc_boilerplate_removal": _SQL_BOILERPLATE,
         "exact_dedup_docs": _SQL_EXACT_DEDUP,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_bucketed": _SQL_ANN_LSH,

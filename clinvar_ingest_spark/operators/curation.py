@@ -517,3 +517,61 @@ def temperature_resample(
         .filter(F.col("rk") <= F.col("_q"))
         .select(id_col, domain_col, "rk")
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 2,
+) -> DataFrame:
+    """C4/CCNet-style corpus-level boilerplate-line removal: any line
+    occurring in MORE than ``max_line_df`` distinct documents (nav
+    bars, cookie banners, footers) is dropped from EVERY document;
+    unique prose survives with line order preserved. Complements
+    :func:`chunk_dedup` (which keeps a repeated chunk's first
+    occurrence — here repetition above the threshold means the line is
+    boilerplate everywhere). Blank lines are document structure, never
+    counted or removed.
+
+    Scale shape: one posexplode over the corpus, the line-df count is
+    a map-side-combinable distinct-count aggregate keyed by the line
+    itself (hot boilerplate heads are plain combine keys, never
+    arrays), the boilerplate set joins back as a LEFT ANTI equi-join
+    (broadcastable when small — AQE decides), and reassembly is one
+    keyed aggregate with an in-group sort by line position. Two
+    shuffles end to end.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    counted = lines.where(F.trim(F.col("line")) != "")
+    boiler = (
+        counted.groupBy("line")
+        .agg(F.count_distinct("_id").alias("line_df"))
+        .where(F.col("line_df") > F.lit(max_line_df))
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["_id"], "left")
+        .select(
+            id_col,
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
