@@ -4052,6 +4052,85 @@ ORDER BY d.doc_id
 """
 
 
+def q_classifier_training(spark, sf_dir):
+    """Distributed BATCH perceptron training (operators/classifier.py
+    train_perceptron) — the training half of the quality-classifier
+    slot. Labels derive from 'spark'-substring presence (deterministic
+    in both engines), features are the same md5-hashed bag-of-words the
+    inference path uses, and the batch update is a SUM (order- and
+    partitioning-invariant), so the full 3-epoch training trajectory —
+    scores, tie-inclusive mistake sets, per-feature deltas — is
+    value-hash-gated against a 3-level unrolled-CTE oracle (the
+    PageRank/BPE precedent). Per epoch: one broadcast join against the
+    ≤dim-row weight vector + two map-side-combinable aggregates; the
+    only driver-side state is the model itself."""
+    from clinvar_ingest_spark.operators.classifier import train_perceptron
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.contains(F.lower("text"), F.lit("spark")), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("label"),
+        "text",
+    )
+    wdf, _hist = train_perceptron(d, dim=4096, epochs=3)
+    return wdf.orderBy("feature_id")
+
+
+_SQL_PERCEPTRON = r"""
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE -1 END AS y,
+         text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, y,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM lab
+),
+f AS (
+  SELECT doc_id, y,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS fid,
+         count(*) AS cnt
+  FROM tok GROUP BY doc_id, y, fid
+),
+w1 AS (
+  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS w FROM f GROUP BY fid
+),
+s2 AS (
+  SELECT doc_id, y, CAST(sum(cnt * coalesce(w1.w, 0)) AS BIGINT) AS score
+  FROM f LEFT JOIN w1 USING (fid) GROUP BY doc_id, y
+),
+m2 AS (SELECT doc_id FROM s2 WHERE y * score <= 0),
+d2 AS (
+  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS d
+  FROM f JOIN m2 USING (doc_id) GROUP BY fid
+),
+w2 AS (
+  SELECT coalesce(w1.fid, d2.fid) AS fid,
+         coalesce(w, 0) + coalesce(d, 0) AS w
+  FROM w1 FULL JOIN d2 ON w1.fid = d2.fid
+),
+s3 AS (
+  SELECT doc_id, y, CAST(sum(cnt * coalesce(w2.w, 0)) AS BIGINT) AS score
+  FROM f LEFT JOIN w2 ON f.fid = w2.fid GROUP BY doc_id, y
+),
+m3 AS (SELECT doc_id FROM s3 WHERE y * score <= 0),
+d3 AS (
+  SELECT fid, CAST(sum(y * cnt) AS BIGINT) AS d
+  FROM f JOIN m3 USING (doc_id) GROUP BY fid
+),
+w3 AS (
+  SELECT coalesce(w2.fid, d3.fid) AS fid,
+         coalesce(w, 0) + coalesce(d, 0) AS w
+  FROM w2 FULL JOIN d3 ON w2.fid = d3.fid
+)
+SELECT fid AS feature_id, CAST(w AS BIGINT) AS w
+FROM w3 WHERE w != 0 ORDER BY feature_id
+"""
+
+
 # =====================================================================
 # Temperature-flattened domain mixture (operators/curation.py
 # temperature_resample): integer quotas from floor(sqrt(mass)) so the
@@ -5073,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "url_blocklist_filter": q_url_blocklist_filter,
         "train_val_split": q_train_val_split,
+        "quality_classifier_training": q_classifier_training,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5143,6 +5223,7 @@ FROM (
         "inverted_index": _SQL_INVERTED_INDEX,
         "keyword_search_topk": _SQL_KEYWORD_SEARCH,
         "quality_classifier_scores": _SQL_CLASSIFIER,
+        "quality_classifier_training": _SQL_PERCEPTRON,
         "temperature_resample": _SQL_TEMPERATURE,
         "bpe_merges": _SQL_BPE_MERGES,
         "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,

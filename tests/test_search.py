@@ -265,3 +265,102 @@ def test_index_deltas_signs(spark):
     # b: +1 insert + 1 postimage -> df 2, cf 2
     # c: -1 preimage -1 delete -> df -2, cf -3
     assert d == {"a": (0, 1), "b": (2, 2), "c": (-2, -3)}
+
+
+# ---------------------------------------------------------------------
+# Batch perceptron training (operators/classifier.py train_perceptron)
+# ---------------------------------------------------------------------
+
+def _py_perceptron(docs, dim, epochs, lr=1):
+    """Pure-Python twin of the batch perceptron (same hashing)."""
+    import hashlib
+    import re
+
+    def feats(text):
+        out = {}
+        for tok in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", text.lower()):
+            f = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+            out[f] = out.get(f, 0) + 1
+        return out
+
+    rows = [(d, y, feats(t)) for d, y, t in docs if feats(t)]
+    w: dict[int, int] = {}
+    hist = []
+    for _ in range(epochs):
+        mis = [
+            (y, x)
+            for _, y, x in rows
+            if y * sum(c * w.get(f, 0) for f, c in x.items()) <= 0
+        ]
+        hist.append(len(mis))
+        for y, x in mis:
+            for f, c in x.items():
+                w[f] = w.get(f, 0) + lr * y * c
+                if w[f] == 0:
+                    del w[f]
+    return w, hist
+
+
+@pytest.fixture()
+def labeled(spark):
+    data = [
+        (1, 1, "good clean prose about cats"),
+        (2, 1, "good solid text here"),
+        (3, 1, "very good good material"),
+        (4, -1, "spam spam buy now"),
+        (5, -1, "buy spam cheap now now"),
+        (6, -1, "now buy cheap"),
+        (7, 1, ""),  # tokenless: no gradient, excluded
+    ]
+    return data, spark.createDataFrame(
+        data, "doc_id long, label long, text string"
+    )
+
+
+def test_perceptron_matches_python_twin(spark, labeled):
+    from clinvar_ingest_spark.operators.classifier import train_perceptron
+
+    data, df = labeled
+    wdf, hist = train_perceptron(df, dim=64, epochs=4)
+    got = {r["feature_id"]: r["w"] for r in wdf.collect()}
+    want, want_hist = _py_perceptron(
+        [(d, y, t) for d, y, t in data], 64, 4
+    )
+    assert got == want
+    assert hist == want_hist
+    # separable toy corpus: training converges to zero mistakes
+    assert hist[-1] == 0
+
+
+def test_perceptron_learned_weights_classify(spark, labeled):
+    from clinvar_ingest_spark.operators.classifier import (
+        hashed_linear_score,
+        train_perceptron,
+    )
+
+    _, df = labeled
+    wdf, _ = train_perceptron(df, dim=64, epochs=4)
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in hashed_linear_score(df, wdf, dim=64).collect()
+    }
+    for r in df.where(F.col("text") != "").collect():
+        assert r["label"] * scored[r["doc_id"]] > 0
+
+
+def test_perceptron_partition_invariance(spark, labeled):
+    from clinvar_ingest_spark.operators.classifier import train_perceptron
+
+    _, df = labeled
+    w1, h1 = train_perceptron(df, dim=64, epochs=3)
+    w2, h2 = train_perceptron(df.repartition(7), dim=64, epochs=3)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    assert h1 == h2
+
+
+def test_perceptron_dim_cap(spark, labeled):
+    from clinvar_ingest_spark.operators.classifier import train_perceptron
+
+    _, df = labeled
+    with pytest.raises(ValueError):
+        train_perceptron(df, dim=1 << 30, max_broadcast_dim=1 << 20)
