@@ -866,6 +866,66 @@ ORDER BY doc_id
 """
 
 
+def q_duplicate_span_removal(spark, sf_dir):
+    """Sliding-window exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token position covered by ANY 10-gram occurring more than once
+    corpus-wide is removed from EVERY occurrence — duplicated passages
+    are caught at ANY alignment, the case chunk_dedup_docs's fixed
+    windows cannot express (operators/dedup.py
+    remove_duplicate_spans). Windows are fingerprinted in place inside
+    the per-doc word array (shuffled rows carry (doc_id, pos, fp)
+    only), the global count is map-side-combinable, coverage expands
+    only DUPLICATED starts, and removal is one anti join on
+    (doc, position)."""
+    from clinvar_ingest_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(d, span_tokens=10)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+_SQL_DUP_SPANS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[(i+1):(i+10)], ' ')) AS fp
+  FROM w, UNNEST(generate_series(0, len(w)-10)) AS t(i)
+  WHERE len(w) >= 10
+),
+dup AS (SELECT fp FROM win GROUP BY fp HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS tpos
+  FROM win JOIN dup USING (fp), UNNEST(generate_series(0, 9)) AS s(j)
+),
+tok AS (
+  SELECT doc_id, i AS tpos, w[i+1] AS tok
+  FROM w, UNNEST(generate_series(0, len(w)-1)) AS t(i)
+),
+kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, tpos)),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(len(w.w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(clean_text, '')) AS clean_fp
+FROM w LEFT JOIN reb USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 def q_doc_nfc_normalize(spark, sf_dir):
     """Unicode NFC normalization before fingerprinting: each doc is
     suffixed with a decomposed 'café' (e + COMBINING ACUTE), normalized
@@ -5153,6 +5213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_filter": q_url_blocklist_filter,
         "train_val_split": q_train_val_split,
         "quality_classifier_training": q_classifier_training,
+        "duplicate_span_removal": q_duplicate_span_removal,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5224,6 +5285,7 @@ FROM (
         "keyword_search_topk": _SQL_KEYWORD_SEARCH,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
+        "duplicate_span_removal": _SQL_DUP_SPANS,
         "temperature_resample": _SQL_TEMPERATURE,
         "bpe_merges": _SQL_BPE_MERGES,
         "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,

@@ -109,3 +109,99 @@ def exact_dedup(
     return df.groupBy(*[F.col(c) for c in content_cols]).agg(
         F.min(keep_col).alias(keep_col), F.count(F.lit(1)).alias("n_copies")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring (sliding-window) duplicate-span removal — the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" semantic at token granularity: every token position covered
+    by ANY ``span_tokens``-gram that occurs more than once corpus-wide
+    (across documents OR repeated within one document) is removed from
+    EVERY occurrence; the surviving tokens are reassembled in order.
+    Unlike :func:`~clinvar_ingest_spark.operators.curation.chunk_dedup`
+    (fixed non-overlapping windows, first occurrence kept), the window
+    here SLIDES one token at a time, so duplicated passages are caught
+    at any alignment.
+
+    Returns ``(doc_id, n_tokens, n_removed, clean_text)``.
+
+    Scale shape: documents are tokenized once into a per-doc word
+    array; the sliding windows are fingerprinted IN PLACE with a
+    ``transform`` over the array (md5 of the joined window — the rows
+    that reach the shuffle carry (doc_id, pos, 32-byte fp), never the
+    window text), the global fingerprint count is one
+    map-side-combinable aggregate, and duplicated-window starts join
+    back by fingerprint (AQE broadcasts the dup set when rare — the
+    common case in curated webtext). Coverage expands each duplicated
+    start to its ``span_tokens`` positions via ``sequence``+explode,
+    distinct per (doc, pos) — worst case O(dup_windows x span_tokens)
+    rows, NOT corpus x span — and removal is one LEFT ANTI join on
+    (doc, pos) followed by a keyed position-sorted reassembly.
+    """
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    ).withColumn(
+        "w", F.filter(F.col("w"), lambda x: x != F.lit(""))
+    )
+    L = int(span_tokens)
+    # fingerprints of every L-token window, computed inside the array
+    wins = words.select(
+        "_id",
+        F.posexplode(
+            F.when(
+                F.size("w") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - L),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("w", i + 1, L))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "fp"),
+    )
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("fp")
+    )
+    covered = (
+        wins.join(dup_fps, "fp")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = words.select(
+        "_id", F.size("w").alias("n_tokens"), F.posexplode("w").alias("tpos", "tok")
+    )
+    kept = toks.join(covered, ["_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = words.select("_id", F.size("w").alias("n_tokens"))
+    return (
+        base.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

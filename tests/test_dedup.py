@@ -423,3 +423,63 @@ def test_extract_outlinks_and_host(spark):
         ).select(url_host(F.col("l")).alias("host")).collect()
     ]
     assert hosts == ["a.example.com", "b.org:8080"]
+
+
+# ---------------------------------------------------------------------
+# Sliding-window exact-substring span removal (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------
+
+def _spans(spark, docs, L):
+    from clinvar_ingest_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(df, span_tokens=L).collect()
+    }
+
+
+def test_cross_doc_span_any_alignment(spark):
+    # 'a b c' appears in both docs at DIFFERENT offsets -> removed from
+    # both; fixed-chunk dedup at width 3 would miss the doc-2 copy
+    out = _spans(
+        spark,
+        [(1, "a b c d e"), (2, "x a b c y")],
+        L=3,
+    )
+    assert out[1] == (5, 3, "d e")
+    assert out[2] == (5, 3, "x y")
+
+
+def test_within_doc_repetition_removed(spark):
+    out = _spans(spark, [(1, "p q r p q r"), (2, "solo words here")], L=3)
+    assert out[1] == (6, 6, "")
+    assert out[2] == (3, 0, "solo words here")
+
+
+def test_short_docs_untouched(spark):
+    out = _spans(spark, [(1, "just two"), (2, "just two"), (3, "")], L=3)
+    # identical docs but shorter than the window: no L-gram exists
+    assert out[1] == (2, 0, "just two")
+    assert out[2] == (2, 0, "just two")
+    assert out[3] == (0, 0, "")
+
+
+def test_overlapping_dup_windows_merge_coverage(spark):
+    # 'a b c d' shared -> two overlapping dup 3-grams; coverage is the
+    # union {0..3}, not double-counted
+    out = _spans(spark, [(1, "a b c d z"), (2, "a b c d w")], L=3)
+    assert out[1] == (5, 4, "z")
+    assert out[2] == (5, 4, "w")
+
+
+def test_span_partition_invariance(spark):
+    from clinvar_ingest_spark.operators.dedup import remove_duplicate_spans
+
+    docs = [(i, f"common run of text {i % 3} plus tail {i}") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, remove_duplicate_spans(df, 4).collect()))
+    b = sorted(
+        map(tuple, remove_duplicate_spans(df.repartition(11), 4).collect())
+    )
+    assert a == b
