@@ -866,6 +866,82 @@ ORDER BY doc_id
 """
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots-exclusion (REP) crawl-permission filtering with Google's
+    longest-match precedence (operators/curation.py robots_filter):
+    literal path-prefix rules per host, longest prefix wins,
+    equal-length allow/disallow tie resolves to ALLOW, unmatched hosts
+    default to allowed. The rule table broadcasts (crawl-config-sized)
+    and the winner is one map-side-combinable max(struct) per URL — no
+    window."""
+    from clinvar_ingest_spark.operators.curation import robots_filter
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://d"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".site/p"), (F.col("event_id") % 7).cast("string"),
+        F.lit("/x"), F.col("event_id").cast("string"),
+    )
+    pages = ev.select(url.alias("url")).distinct()
+    rules = spark.createDataFrame(
+        [
+            ("d0.site", "/", False),
+            ("d0.site", "/p1", True),
+            ("d0.site", "/p1/x1", False),
+            ("d1.site", "/p2", False),
+            ("d1.site", "/p2", True),  # tie -> allow
+            ("d2.site", "/p", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    return robots_filter(pages, rules).orderBy("url")
+
+
+_SQL_ROBOTS = r"""
+WITH u AS (
+  SELECT DISTINCT 'https://d' || (user_id % 5) || '.site/p'
+         || (event_id % 7) || '/x' || event_id AS url
+  FROM events
+),
+p AS (
+  SELECT url,
+         lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         coalesce(nullif(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)', 1), ''),
+                  '/') AS path
+  FROM u
+),
+r AS (
+  SELECT * FROM (VALUES
+    ('d0.site', '/', false),
+    ('d0.site', '/p1', true),
+    ('d0.site', '/p1/x1', false),
+    ('d1.site', '/p2', false),
+    ('d1.site', '/p2', true),
+    ('d2.site', '/p', false)
+  ) AS t(host, path_prefix, allow)
+),
+j AS (
+  SELECT p.url, r.path_prefix, r.allow
+  FROM p LEFT JOIN r
+    ON p.host = r.host AND starts_with(p.path, r.path_prefix)
+),
+w AS (
+  SELECT url, path_prefix, allow,
+         row_number() OVER (
+           PARTITION BY url
+           ORDER BY length(path_prefix) DESC, allow DESC) AS rn
+  FROM j WHERE path_prefix IS NOT NULL
+),
+best AS (SELECT url, path_prefix, allow FROM w WHERE rn = 1)
+SELECT u.url, coalesce(b.allow, true) AS allowed,
+       b.path_prefix AS matched_rule
+FROM u LEFT JOIN best b USING (url)
+ORDER BY u.url
+"""
+
+
 def q_duplicate_span_removal(spark, sf_dir):
     """Sliding-window exact-substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): every
@@ -5214,6 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "quality_classifier_training": q_classifier_training,
         "duplicate_span_removal": q_duplicate_span_removal,
+        "robots_allowed_pages": q_robots_filter,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5286,6 +5363,7 @@ FROM (
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,
+        "robots_allowed_pages": _SQL_ROBOTS,
         "temperature_resample": _SQL_TEMPERATURE,
         "bpe_merges": _SQL_BPE_MERGES,
         "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,

@@ -575,3 +575,75 @@ def remove_boilerplate_lines(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-exclusion (REP) crawl-permission filtering with Google's
+    longest-match precedence: for each page URL, the applicable rules
+    are those of its host whose ``path_prefix`` is a literal prefix of
+    the URL path; the LONGEST prefix wins, an allow/disallow tie at
+    equal length resolves to ALLOW, and a page with no matching rule
+    (or an unknown host) is allowed — the REP default. Wildcards
+    (``*``/``$``) are out of scope: prefixes are literal, the common
+    case in real robots files.
+
+    ``rules`` schema: ``(host STRING, path_prefix STRING,
+    allow BOOLEAN)``. Returns ``(url, allowed, matched_rule)`` where
+    ``matched_rule`` is the winning prefix (NULL when no rule
+    applied).
+
+    Scale shape: the rule table is crawl-config-sized (never
+    corpus-sized) and broadcasts; the prefix match rides the broadcast
+    hash join on host, and the winner is one map-side-combinable
+    ``max(struct(len, allow))`` aggregate per page — no window, no
+    shuffle of the corpus beyond the per-URL reduce. Two equal-length
+    prefixes of one path are the same string, so the winner struct is
+    fully determined.
+    """
+    from clinvar_ingest_spark.functions.text import url_host
+
+    u = F.col(url_col)
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)", 1),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    p = pages.select(
+        u.alias("url"),
+        url_host(u).alias("_host"),
+        path.alias("_path"),
+    )
+    r = rules.select(
+        F.col("host").alias("_rhost"),
+        F.col("path_prefix").alias("_prefix"),
+        F.col("allow").alias("_allow"),
+    )
+    joined = p.join(
+        F.broadcast(r),
+        (F.col("_host") == F.col("_rhost"))
+        & F.col("_path").startswith(F.col("_prefix")),
+        "left",
+    )
+    won = joined.groupBy("url").agg(
+        F.max(
+            F.when(
+                F.col("_prefix").isNotNull(),
+                F.struct(
+                    F.length("_prefix").alias("l"),
+                    F.col("_allow").alias("allow"),
+                    F.col("_prefix").alias("prefix"),
+                ),
+            )
+        ).alias("m")
+    )
+    return won.select(
+        "url",
+        F.coalesce(F.col("m.allow"), F.lit(True)).alias("allowed"),
+        F.col("m.prefix").alias("matched_rule"),
+    )

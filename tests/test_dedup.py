@@ -483,3 +483,56 @@ def test_span_partition_invariance(spark):
         map(tuple, remove_duplicate_spans(df.repartition(11), 4).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# Robots-exclusion longest-match filtering (curation.py robots_filter)
+# ---------------------------------------------------------------------
+
+def _robots(spark, urls):
+    from clinvar_ingest_spark.operators.curation import robots_filter
+
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    rules = spark.createDataFrame(
+        [
+            ("a.site", "/", False),
+            ("a.site", "/public", True),
+            ("a.site", "/public/private", False),
+            ("b.site", "/p", True),
+            ("b.site", "/p", False),  # exact tie -> allow wins (REP)
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    return {
+        r["url"]: (r["allowed"], r["matched_rule"])
+        for r in robots_filter(pages, rules).collect()
+    }
+
+
+def test_robots_longest_match_precedence(spark):
+    out = _robots(
+        spark,
+        [
+            "https://a.site/",
+            "https://a.site/public/page",
+            "https://a.site/public/private/x",
+        ],
+    )
+    assert out["https://a.site/"] == (False, "/")
+    assert out["https://a.site/public/page"] == (True, "/public")
+    assert out["https://a.site/public/private/x"] == (
+        False,
+        "/public/private",
+    )
+
+
+def test_robots_tie_resolves_to_allow(spark):
+    out = _robots(spark, ["https://b.site/p/q"])
+    assert out["https://b.site/p/q"] == (True, "/p")
+
+
+def test_robots_default_allow(spark):
+    # unknown host and bare-host URL (path normalizes to '/')
+    out = _robots(spark, ["https://c.site/anything", "https://a.site"])
+    assert out["https://c.site/anything"] == (True, None)
+    assert out["https://a.site"] == (False, "/")
