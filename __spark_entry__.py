@@ -866,6 +866,54 @@ ORDER BY doc_id
 """
 
 
+def q_banned_phrase_pages(spark, sf_dir):
+    """C4-style banned-phrase page filtering (operators/curation.py
+    banned_phrase_filter): case-insensitive WORD-BOUNDARY phrase
+    matching via per-length sliding n-gram broadcast equi-joins (never
+    a LIKE/regex OR-chain), map-side-combinable hit counting, clean
+    pages kept with n_hits = 0."""
+    from clinvar_ingest_spark.operators.curation import banned_phrase_filter
+
+    d = _t(spark, sf_dir, "documents")
+    p = spark.createDataFrame(
+        [("slow",), ("dup",), ("batch batch",)], "phrase string"
+    )
+    return banned_phrase_filter(d, p).orderBy("doc_id")
+
+
+_SQL_BANNED = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+g1 AS (
+  SELECT doc_id, w[i+1] AS p
+  FROM w, UNNEST(generate_series(0, len(w)-1)) t(i)
+),
+g2 AS (
+  SELECT doc_id, w[i+1] || ' ' || w[i+2] AS p
+  FROM w, UNNEST(generate_series(0, len(w)-2)) t(i)
+  WHERE len(w) >= 2
+),
+pl AS (SELECT * FROM (VALUES ('slow'), ('dup'), ('batch batch')) t(p)),
+h AS (
+  SELECT doc_id, g.p
+  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) g JOIN pl USING (p)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_hits,
+         array_to_string(list_sort(list(DISTINCT p)), ',') AS hit_phrases
+  FROM h GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(hit_phrases, '') AS hit_phrases,
+       coalesce(n_hits, 0) = 0 AS keep
+FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id
+"""
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots-exclusion (REP) crawl-permission filtering with Google's
     longest-match precedence (operators/curation.py robots_filter):
@@ -5291,6 +5339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_training": q_classifier_training,
         "duplicate_span_removal": q_duplicate_span_removal,
         "robots_allowed_pages": q_robots_filter,
+        "banned_phrase_pages": q_banned_phrase_pages,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5364,6 +5413,7 @@ FROM (
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,
         "robots_allowed_pages": _SQL_ROBOTS,
+        "banned_phrase_pages": _SQL_BANNED,
         "temperature_resample": _SQL_TEMPERATURE,
         "bpe_merges": _SQL_BPE_MERGES,
         "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,

@@ -647,3 +647,89 @@ def robots_filter(
         F.coalesce(F.col("m.allow"), F.lit(True)).alias("allowed"),
         F.col("m.prefix").alias("matched_rule"),
     )
+
+
+def banned_phrase_filter(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style banned-phrase page filtering (Raffel et al. 2020 drop
+    pages containing any listed phrase): matching is case-insensitive
+    at WORD-BOUNDARY granularity — a phrase hits only when its token
+    sequence appears as consecutive whole tokens, so 'class' never
+    matches a banned 'ass'. Returns ``(doc_id, n_hits, hit_phrases,
+    keep)`` where ``hit_phrases`` is the sorted comma-joined distinct
+    matched phrases ('' when clean) and ``keep = n_hits == 0``.
+
+    Scale shape: the phrase list is config-sized; its DISTINCT token
+    lengths (a handful) are collected driver-side and for each length
+    L the corpus emits sliding L-gram join keys IN PLACE from the
+    per-doc word array — the join is a broadcast equi-join per length,
+    never a LIKE/regex OR-chain (O(rows × phrases) and unpushable).
+    Hit counting is one map-side-combinable aggregate; docs join back
+    LEFT so clean pages survive with n_hits = 0.
+    """
+    norm = F.array_join(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("phrase"))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ),
+        " ",
+    )
+    plist = phrases.select(
+        norm.alias("_p"),
+        F.size(F.split(norm, " ")).alias("_len"),
+    ).distinct()
+    lengths = sorted(
+        r["_len"] for r in plist.select("_len").distinct().collect()
+    )  # config-sized: bounded by the longest phrase, never by data
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("w"),
+    )
+    hits = None
+    for L in lengths:
+        grams = words.select(
+            "_id",
+            F.explode(
+                F.when(
+                    F.size("w") >= L,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - L),
+                        lambda i: F.concat_ws(" ", F.slice("w", i + 1, L)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_p"),
+        )
+        h = grams.join(
+            F.broadcast(plist.where(F.col("_len") == L).select("_p")), "_p"
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    if hits is None:
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit("").alias("hit_phrases"),
+            F.lit(True).alias("keep"),
+        )
+    agg = hits.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.array_join(F.array_sort(F.collect_set("_p")), ",").alias(
+            "hit_phrases"
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("hit_phrases", F.lit("")).alias("hit_phrases"),
+            (F.coalesce("n_hits", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -536,3 +536,53 @@ def test_robots_default_allow(spark):
     out = _robots(spark, ["https://c.site/anything", "https://a.site"])
     assert out["https://c.site/anything"] == (True, None)
     assert out["https://a.site"] == (False, "/")
+
+
+# ---------------------------------------------------------------------
+# C4-style banned-phrase filtering (curation.py banned_phrase_filter)
+# ---------------------------------------------------------------------
+
+def _phrases(spark, docs, plist):
+    from clinvar_ingest_spark.operators.curation import banned_phrase_filter
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = spark.createDataFrame([(x,) for x in plist], "phrase string")
+    return {
+        r["doc_id"]: (r["n_hits"], r["hit_phrases"], r["keep"])
+        for r in banned_phrase_filter(d, p).collect()
+    }
+
+
+def test_banned_phrase_word_boundaries(spark):
+    out = _phrases(
+        spark,
+        [
+            (1, "a classy Word here"),       # 'class'/'word' as substrings only
+            (2, "top class word games"),     # both single-token hits
+            (3, "clean page"),
+            (4, ""),
+        ],
+        ["class", "word"],
+    )
+    assert out[1] == (1, "word", False)  # 'Word' hits (case-insensitive);
+    assert out[2] == (2, "class,word", False)
+    assert out[3] == (0, "", True)
+    assert out[4] == (0, "", True)
+
+
+def test_banned_phrase_multiword_and_counts(spark):
+    out = _phrases(
+        spark,
+        [
+            (1, "buy now buy now ok"),   # 2 overlapping-free hits
+            (2, "buy then now"),          # tokens present, sequence absent
+        ],
+        ["buy now"],
+    )
+    assert out[1] == (2, "buy now", False)
+    assert out[2] == (0, "", True)
+
+
+def test_banned_phrase_empty_list_keeps_all(spark):
+    out = _phrases(spark, [(1, "anything"), (2, "")], [])
+    assert out == {1: (0, "", True), 2: (0, "", True)}
