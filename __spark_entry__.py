@@ -3088,6 +3088,36 @@ def q_cdc_wap_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "text").orderBy("url")
 
 
+def q_cdc_branch_state(spark, sf_dir):
+    """Branch-ref lifecycle (Iceberg branch analog, tables.py): batch 1
+    commits to MAIN, batch 2 commits on a BRANCH view through the same
+    merge path (main readers still see batch 1 — asserted), then the
+    branch FAST-FORWARDS into main. The final state must equal the
+    direct 2-batch replay — the shared LWW oracle. Branch heads advance
+    through the same commit CAS as main and are GC roots until
+    published."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=1, return_table=True,
+                   log_builder=lambda s, d: _events_as_change_log(s, d)
+                   .filter(F.col("seq") % 2 == 0))
+    from clinvar_ingest_spark.functions.extract import extract_text
+
+    n_main_before = tbl.read().count()
+    tbl.create_branch("ingest-audit")
+    dev = tbl.branch("ingest-audit")
+    log = _events_as_change_log(spark, sf_dir).filter(
+        F.col("seq") % 2 == 1
+    )
+    dev.merge_upsert(
+        log.drop("part"),
+        post_merge_transform=lambda df: df.withColumn(
+            "text", F.coalesce(F.col("text"), extract_text("html"))
+        ),
+    )
+    assert tbl.read().count() == n_main_before  # isolation: main unmoved
+    tbl.fast_forward("ingest-audit")
+    return tbl.read().select("url", "seq", "text").orderBy("url")
+
+
 def q_cdc_pipeline_state(spark, sf_dir):
     """FULL pipeline (extract → LWW merge → tombstones → snapshot commit)
     replayed in 3 batches; oracle replays the same semantics in SQL."""
@@ -5340,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_removal": q_duplicate_span_removal,
         "robots_allowed_pages": q_robots_filter,
         "banned_phrase_pages": q_banned_phrase_pages,
+        "cdc_branch_state": q_cdc_branch_state,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5519,6 +5550,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "multimodal_audio_features": _SQL_MULTIMODAL_AUDIO,
         "cdc_merge_into_state": _SQL_CDC_MERGE_INTO,
         "cdc_wap_state": _SQL_CDC_STATE,
+        "cdc_branch_state": _SQL_CDC_STATE,
         "event_time_sliding_windows": _SQL_SLIDING_WINDOWS,
         "cdc_change_feed_images": _SQL_CDC_CHANGE_FEED,
         "link_graph_degrees": _SQL_LINK_DEGREES,

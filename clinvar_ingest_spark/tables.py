@@ -114,6 +114,10 @@ class PurgeResult:
 class SnapshotTable:
     """A bucketed, snapshot-isolated table keyed by ``key_col``."""
 
+    # branch views (see :meth:`branch`) set an instance attribute; the
+    # class default keeps plain instances on the MAIN pointer
+    _branch: str | None = None
+
     def __init__(
         self,
         spark: SparkSession,
@@ -138,11 +142,26 @@ class SnapshotTable:
     def exists(self) -> bool:
         return os.path.exists(self._ptr_path())
 
-    def _read_ptr(self) -> str | None:
+    def _read_main_ptr(self) -> str | None:
         if not self.exists():
             return None
         with open(self._ptr_path()) as f:
             return f.read().strip()
+
+    def _read_ptr(self) -> str | None:
+        """Head manifest name — the MAIN pointer, or this view's branch
+        head when the instance came from :meth:`branch` (every reader
+        and every commit CAS routes through here, which is what makes
+        merge/DML/compact/rollback work on a branch unchanged)."""
+        if self._branch is not None:
+            brs = self._read_branches()
+            if self._branch not in brs:
+                raise ValueError(
+                    f"branch {self._branch!r} does not exist (dropped or "
+                    "fast-forwarded)"
+                )
+            return brs[self._branch]
+        return self._read_main_ptr()
 
     def _load_manifest(self, name: str) -> dict[str, Any]:
         with open(os.path.join(self.path, _MANIFESTS, name)) as f:
@@ -215,9 +234,14 @@ class SnapshotTable:
         in-flight manifest can be swept."""
         d = os.path.join(self.path, _MANIFESTS)
         reachable = set()
-        # staged (write-audit-publish) manifests are roots too: they are
-        # not on the pointer chain yet, but publish_staged will need them
-        heads = [chain_head] + list(self._read_staged().values())
+        # staged (write-audit-publish) manifests and branch heads are
+        # roots too: they are not on the pointer chain, but
+        # publish_staged / fast_forward will need them
+        heads = (
+            [chain_head]
+            + list(self._read_staged().values())
+            + list(self._read_branches().values())
+        )
         for head in heads:
             name: str | None = head
             while name is not None and name not in reachable:
@@ -1127,6 +1151,11 @@ class SnapshotTable:
         commits N+1; the loser must re-read and retry. Manifests written
         by a commit that lost the race (or crashed pre-swap) are orphans:
         unreachable from the pointer chain and GC'd here."""
+        if stage_ref is not None and self._branch is not None:
+            raise ValueError(
+                "WAP staging and branch commits don't compose — commit "
+                "to the branch directly (it already is the audit copy)"
+            )
         os.makedirs(os.path.join(self.path, _MANIFESTS), exist_ok=True)
         sid = parent + 1
         # schema-evolution log rides every manifest: copied forward from
@@ -1176,6 +1205,16 @@ class SnapshotTable:
                 staged = self._read_staged()
                 staged[stage_ref] = name
                 self._write_staged(staged)
+            elif self._branch is not None:
+                # branch commit: the CAS above already compared against
+                # the branch head (branch-aware _read_ptr); advance the
+                # branch ref, never the main pointer
+                brs = self._read_branches()
+                brs[self._branch] = name
+                self._write_branches(brs)
+                main = self._read_main_ptr()
+                if main is not None:
+                    self._gc_orphan_manifests(main)
             else:
                 fd, tmp = tempfile.mkstemp(dir=self.path)
                 with os.fdopen(fd, "w") as f:
@@ -1219,6 +1258,8 @@ class SnapshotTable:
         table advanced since the stage was planned (the staged merge
         would silently drop the interleaved commit's rows; re-stage
         against the new state instead)."""
+        if self._branch is not None:
+            raise ValueError("publish_staged runs on the main table")
         lock = self._acquire_lock()
         try:
             staged = self._read_staged()
@@ -1257,6 +1298,136 @@ class SnapshotTable:
                 os.unlink(os.path.join(self.path, _MANIFESTS, name))
             except OSError:
                 pass
+        finally:
+            self._release_lock(lock)
+
+    # -- branch refs (Iceberg branch analog) ---------------------------
+    # A branch is a named head in _branches.json that advances through
+    # the SAME _commit CAS as main (compare-and-swap against the branch
+    # head, under the table lock). Because every reader and writer
+    # resolves its head through the branch-aware _read_ptr, the full
+    # write surface — merge_upsert (all three modes), merge_into,
+    # delete_where/update_where, compact, rollback_to, schema evolution
+    # — works on a branch with zero extra code: Iceberg's branch
+    # semantics, but uniform across the whole engine. WAP staging
+    # (stage_ref) is the single-commit special case; branches are the
+    # multi-commit generalization.
+
+    def _branches_path(self) -> str:
+        return os.path.join(self.path, "_branches.json")
+
+    def _read_branches(self) -> dict[str, str]:
+        try:
+            with open(self._branches_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _write_branches(self, brs: dict[str, str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(brs, f)
+        os.replace(tmp, self._branches_path())
+
+    def branches(self) -> dict[str, int]:
+        """branch name -> head snapshot id."""
+        out = {}
+        for name, mname in self._read_branches().items():
+            try:
+                out[name] = self._load_manifest(mname)["snapshot_id"]
+            except OSError:
+                continue
+        return out
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> int:
+        """Create branch ``name`` at the current MAIN head (or at a
+        historical ``snapshot_id``). Returns the branch head snapshot
+        id. The branch's manifests are GC roots until it is dropped or
+        fast-forwarded."""
+        if self._branch is not None:
+            raise ValueError("create_branch must run on the main table")
+        lock = self._acquire_lock()
+        try:
+            brs = self._read_branches()
+            if name in brs:
+                raise ValueError(f"branch {name!r} already exists")
+            if snapshot_id is None:
+                head = self._read_main_ptr()
+                if head is None:
+                    raise ValueError(f"table {self.path} does not exist")
+            else:
+                head = self.manifest_at(snapshot_id)["_name"]
+            brs[name] = head
+            self._write_branches(brs)
+            return self._load_manifest(head)["snapshot_id"]
+        finally:
+            self._release_lock(lock)
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A view of this table whose head is branch ``name``: reads,
+        time travel, and every write path operate on the branch."""
+        import copy
+
+        if self._branch is not None:
+            raise ValueError("already a branch view; branch from main")
+        if name not in self._read_branches():
+            raise ValueError(f"branch {name!r} does not exist")
+        view = copy.copy(self)
+        view._branch = name
+        return view
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch ref; its exclusive manifests/files become
+        orphans (swept by the next commit's manifest GC and by
+        vacuum_orphans)."""
+        lock = self._acquire_lock()
+        try:
+            brs = self._read_branches()
+            if name not in brs:
+                raise ValueError(f"branch {name!r} does not exist")
+            brs.pop(name)
+            self._write_branches(brs)
+        finally:
+            self._release_lock(lock)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish branch ``name``: move the MAIN pointer to the branch
+        head and drop the ref. Requires main to be an ANCESTOR of (or
+        equal to) the branch head — the Iceberg fast-forward contract;
+        if main advanced independently the branch has diverged and the
+        caller must replay/rebase instead (CommitConflictError)."""
+        lock = self._acquire_lock()
+        try:
+            brs = self._read_branches()
+            if name not in brs:
+                raise ValueError(f"branch {name!r} does not exist")
+            head = brs[name]
+            cur = self._read_main_ptr()
+            n: str | None = head
+            ok = False
+            while n is not None:
+                if n == cur:
+                    ok = True
+                    break
+                try:
+                    n = self._load_manifest(n).get("parent_name")
+                except OSError:
+                    break
+            if not ok:
+                raise CommitConflictError(
+                    f"branch {name!r} does not descend from the current "
+                    f"main head {cur!r} — main advanced since the branch "
+                    "was created; replay the branch commits instead"
+                )
+            if head != cur:
+                fd, tmp = tempfile.mkstemp(dir=self.path)
+                with os.fdopen(fd, "w") as f:
+                    f.write(head)
+                os.replace(tmp, self._ptr_path())
+            brs.pop(name)
+            self._write_branches(brs)
+            self._gc_orphan_manifests(head)
+            return self._load_manifest(head)["snapshot_id"]
         finally:
             self._release_lock(lock)
 
@@ -2253,9 +2424,17 @@ class SnapshotTable:
         Single-writer maintenance op: run it like compaction, not
         concurrently with an ingest (a concurrent UNCOMMITTED write's
         files would look orphaned)."""
+        if self._branch is not None:
+            raise ValueError("vacuum_orphans runs on the main table")
         lock = self._acquire_lock()
         try:
             chain = self.history()
+            if keep_snapshots is not None and self._read_branches():
+                raise ValueError(
+                    "snapshot expiry with live branches would cut "
+                    "manifests a branch still reaches — drop or "
+                    "fast-forward branches first"
+                )
             if keep_snapshots is not None and len(chain) > keep_snapshots:
                 boundary = len(chain) - keep_snapshots
                 # tagged snapshots are retention roots: expiry never
@@ -2291,12 +2470,27 @@ class SnapshotTable:
         finally:
             self._release_lock(lock)
         referenced: set[str] = set()
-        # staged (unpublished) snapshots' files are NOT orphans
-        for name in chain + list(self._read_staged().values()):
+        # staged (unpublished) snapshots' and branch chains' files are
+        # NOT orphans; branch heads need a parent walk — their
+        # intermediate commits are off the main chain
+        roots = (
+            chain
+            + list(self._read_staged().values())
+            + list(self._read_branches().values())
+        )
+        seen_m: set[str] = set()
+        while roots:
+            name = roots.pop()
+            if name in seen_m:
+                continue
+            seen_m.add(name)
             try:
                 m = self._load_manifest(name)
             except OSError:
                 continue
+            p = m.get("parent_name")
+            if p is not None:
+                roots.append(p)
             for files in m["buckets"].values():
                 referenced.update(os.path.realpath(f) for f in files)
         data_root = os.path.join(self.path, _DATA)
@@ -2354,23 +2548,38 @@ class SnapshotTable:
         """
         if value is None:
             raise ValueError("cannot purge a null key")
+        if self._branch is not None:
+            raise ValueError(
+                "purge_key runs on the main table (it already covers "
+                "every branch chain)"
+            )
         head = self.current_manifest()
         if head is None:
             raise ValueError(f"table {self.path} does not exist")
 
         def _reachable() -> list[dict[str, Any]]:
-            names = list(self.history()) + [
-                n for n in self._read_staged().values()
-            ]
+            # main chain + staged (WAP) heads + branch heads, with
+            # parent walks: branch-only commits are NOT on the main
+            # chain but absolutely carry the key — GDPR covers them
+            stack = (
+                list(self.history())
+                + list(self._read_staged().values())
+                + list(self._read_branches().values())
+            )
             out, seen = [], set()
-            for n in names:
+            while stack:
+                n = stack.pop()
                 if n in seen:
                     continue
                 seen.add(n)
                 try:
-                    out.append(self._load_manifest(n))
+                    m = self._load_manifest(n)
                 except OSError:
-                    pass
+                    continue
+                out.append(m)
+                p = m.get("parent_name")
+                if p is not None:
+                    stack.append(p)
             return out
 
         manifests = _reachable()
