@@ -866,6 +866,85 @@ ORDER BY doc_id
 """
 
 
+def q_gopher_quality_gates(spark, sf_dir):
+    """The Gopher document-quality gates (Rae et al. 2021 App. A) as
+    ONE codegen projection (functions/text.py gopher_gates): word-count
+    and mean-word-length bounds, hash/ellipsis symbol-word ratio,
+    bullet-started and ellipsis-ended line fractions, alphabetic-word
+    fraction, stop-word floor — every ratio an integer
+    cross-multiplication, so the keep verdict is bit-exact across
+    engines. Multi-line docs are synthesized with two deterministic
+    replaces (bullet lines from ' line ', ellipsis line-ends from
+    ' dup ') both engines apply identically."""
+    from clinvar_ingest_spark.functions.text import gopher_gates
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.replace(
+        F.replace(F.col("text"), F.lit(" line "), F.lit("\n- ")),
+        F.lit(" dup "),
+        F.lit(" ...\n"),
+    )
+    return (
+        d.select("doc_id", gopher_gates(t).alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_GOPHER = r"""
+WITH d AS (
+  SELECT doc_id,
+         replace(replace(text, ' line ', chr(10) || '- '),
+                 ' dup ', ' ...' || chr(10)) AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(t), '\s+'),
+                     x -> x <> '') AS w,
+         list_filter(list_transform(string_split(t, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS l
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+              AS BIGINT) AS total_word_chars,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(w, x -> contains(x, '#')
+                                   OR contains(x, '...')
+                                   OR contains(x, '…')))
+              AS BIGINT) AS n_symbol_words,
+         CAST(len(l) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(l, x -> starts_with(x, '-')
+                                   OR starts_with(x, '*')
+                                   OR starts_with(x, '•')))
+              AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(l, x -> ends_with(x, '...')
+                                   OR ends_with(x, '…')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter(w, x -> list_contains(
+                ['the','be','to','of','and','that','have','with'],
+                lower(x))))
+              AS BIGINT) AS n_stop_hits
+  FROM e
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND 3 * n_words <= total_word_chars
+        AND total_word_chars <= 10 * n_words
+        AND 10 * n_symbol_words <= n_words
+        AND 10 * n_bullet_lines <= 9 * n_lines
+        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stop_hits >= 2) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def q_banned_phrase_pages(spark, sf_dir):
     """C4-style banned-phrase page filtering (operators/curation.py
     banned_phrase_filter): case-insensitive WORD-BOUNDARY phrase
@@ -5370,6 +5449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_removal": q_duplicate_span_removal,
         "robots_allowed_pages": q_robots_filter,
         "banned_phrase_pages": q_banned_phrase_pages,
+        "gopher_quality_gates": q_gopher_quality_gates,
         "cdc_branch_state": q_cdc_branch_state,
         "min_cost_lineitems": q_min_cost_lineitems,
         "dedup_keep_best": q_dedup_keep_best,
@@ -5445,6 +5525,7 @@ FROM (
         "duplicate_span_removal": _SQL_DUP_SPANS,
         "robots_allowed_pages": _SQL_ROBOTS,
         "banned_phrase_pages": _SQL_BANNED,
+        "gopher_quality_gates": _SQL_GOPHER,
         "temperature_resample": _SQL_TEMPERATURE,
         "bpe_merges": _SQL_BPE_MERGES,
         "bpe_token_counts": _SQL_BPE_TOKEN_COUNTS,

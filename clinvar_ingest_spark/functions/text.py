@@ -275,3 +275,82 @@ def extract_outlinks(html_text: Column) -> Column:
 def url_host(url: Column) -> Column:
     """Lowercased host[:port] of an absolute URL ('' if unparseable)."""
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
+
+# Gopher quality-gate constants (Rae et al. 2021, Appendix A): word
+# count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS], mean word length in
+# [3, 10], hash/ellipsis symbol-word ratio <= 0.1, bullet-started lines
+# <= 90%, ellipsis-ended lines <= 30%, words-with-an-alphabetic-char
+# >= 80%, and at least 2 hits from an 8-word stop list. Shared with the
+# DuckDB oracle; every comparison below is integer cross-multiplied so
+# the keep verdict is bit-exact across engines.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_gates(text: Column) -> Column:
+    """The Gopher document-quality gates as ONE codegen projection —
+    struct of exact-integer evidence columns plus the composite
+    ``keep``: no explode, no shuffle, runs at scan parallelism. Lines
+    are split on newline; bullet/ellipsis rules count trimmed non-empty
+    lines only (a doc with no lines passes those rules vacuously, which
+    the integer inequalities encode for free: 0 <= 0)."""
+    words = F.filter(
+        F.split(F.trim(text), r"\s+"), lambda x: x != F.lit("")
+    )
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    n_words = F.size(words).cast("long")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_sym = F.size(
+        F.filter(
+            words,
+            lambda x: x.contains("#") | x.contains("...") | x.contains("…"),
+        )
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(
+            lines, lambda l: l.endswith("...") | l.endswith("…")
+        )
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(words, lambda x: F.array_contains(stops, F.lower(x)))
+    ).cast("long")
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (3 * n_words <= total_chars)
+        & (total_chars <= 10 * n_words)
+        & (10 * n_sym <= n_words)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ellipsis <= 3 * n_lines)
+        & (5 * n_alpha >= 4 * n_words)
+        & (n_stop >= 2)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        total_chars.alias("total_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_sym.alias("n_symbol_words"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_stop.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )

@@ -586,3 +586,61 @@ def test_banned_phrase_multiword_and_counts(spark):
 def test_banned_phrase_empty_list_keeps_all(spark):
     out = _phrases(spark, [(1, "anything"), (2, "")], [])
     assert out == {1: (0, "", True), 2: (0, "", True)}
+
+
+# ---------------------------------------------------------------------
+# Gopher quality gates (functions/text.py gopher_gates)
+# ---------------------------------------------------------------------
+
+BASE_SENT = "the quick brown fox jumps over with lazy dogs near"
+
+
+def _gopher(spark, docs):
+    from clinvar_ingest_spark.functions.text import gopher_gates
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", gopher_gates(F.col("text")).alias("g")
+        ).select("doc_id", "g.*").collect()
+    }
+
+
+def test_gopher_keeps_clean_prose(spark):
+    out = _gopher(spark, [(1, " ".join([BASE_SENT] * 6))])
+    g = out[1]
+    assert g["n_words"] == 60 and g["n_alpha_words"] == 60
+    assert g["n_stop_hits"] == 12 and g["keep"] is True
+
+
+def test_gopher_word_count_and_symbol_rules(spark):
+    out = _gopher(
+        spark,
+        [
+            (1, BASE_SENT),  # 10 words < 50
+            (2, " ".join([BASE_SENT] * 6) + " " + " ".join(["#tag"] * 7)),
+        ],
+    )
+    assert out[1]["keep"] is False
+    g = out[2]
+    assert g["n_symbol_words"] == 7 and g["keep"] is False  # 7*10 > 67
+
+
+def test_gopher_line_rules(spark):
+    bullets = "\n".join(["- " + BASE_SENT] * 6)
+    dots = "\n".join(
+        [BASE_SENT + " ..."] * 5 + [BASE_SENT]
+    )
+    out = _gopher(spark, [(1, bullets), (2, dots)])
+    g1, g2 = out[1], out[2]
+    assert g1["n_bullet_lines"] == 6 and g1["keep"] is False
+    assert g2["n_ellipsis_lines"] == 5 and g2["keep"] is False
+
+
+def test_gopher_alpha_fraction_rule(spark):
+    text = " ".join([BASE_SENT] * 6) + " " + " ".join(["12345"] * 20)
+    out = _gopher(spark, [(1, text)])
+    g = out[1]
+    assert (g["n_words"], g["n_alpha_words"]) == (80, 60)
+    assert g["keep"] is False  # 60/80 = 0.75 < 0.8
