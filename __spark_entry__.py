@@ -1210,6 +1210,21 @@ def q_near_dup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val split: LSH candidate pairs → connected
+    components → one md5 hash split PER CLUSTER, so near-copies can
+    never straddle train and val (the leakage mode a per-doc hash
+    split cannot prevent). Singletons hash their own id, bit-identical
+    to train_val_split. Oracle replays the same transitive closure
+    with a recursive CTE and the same md5 arithmetic."""
+    from clinvar_ingest_spark.operators.curation import leakage_safe_split
+    from clinvar_ingest_spark.operators.similarity_dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(d, threshold=0.2, band_prefix=4)
+    return leakage_safe_split(d, pairs).orderBy("doc_id")
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash (16-bit, frequency-weighted) bucket stats."""
     from clinvar_ingest_spark.operators.similarity_dedup import simhash_buckets
@@ -2746,8 +2761,9 @@ FROM s GROUP BY simhash ORDER BY simhash
 
     # --- near-dup clusters: verified pairs → recursive transitive
     # closure → min-label components (the Spark side iterates; SQL
-    # recurses — same fixpoint) ---------------------------------------
-    clusters = "WITH RECURSIVE " + sh_cte.replace("WITH ", "", 1) + f""",
+    # recurses — same fixpoint). The closure prefix is shared with the
+    # leakage-safe split oracle below. ---------------------------------
+    closure_cte = "WITH RECURSIVE " + sh_cte.replace("WITH ", "", 1) + f""",
 sig AS (SELECT doc_id, {mh_cols} FROM sh),
 bands AS ({bands_union}),
 cands AS (
@@ -2772,11 +2788,27 @@ reach(a, b) AS (
 ),
 comp AS (SELECT a AS node, least(a, min(b)) AS component
          FROM reach GROUP BY a)
+"""
+    clusters = closure_cte + """
 SELECT component AS keeper, count(*) AS n_members,
        array_to_string(list_transform(list_sort(list(node)),
                                       x -> CAST(x AS VARCHAR)), '|')
          AS members
 FROM comp GROUP BY 1 ORDER BY 1
+"""
+
+    # --- leakage-safe split: whole near-dup clusters share one split,
+    # assigned by md5 of the component label; singletons hash their own
+    # id (bit-identical to the plain train_val_split) ------------------
+    leakage = closure_cte + """
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(
+                   coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 5
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+ORDER BY d.doc_id
 """
 
     # --- capped LSH: identical pipeline + HAVING count(*) <= cap on
@@ -2906,6 +2938,7 @@ FROM r WHERE rn = 1 GROUP BY source ORDER BY source
         "minhash_lsh_dedup": lsh,
         "minhash_lsh_capped": lsh_capped,
         "near_dup_clusters": clusters,
+        "leakage_safe_split": leakage,
         "simhash_buckets": simhash,
         "simhash_near_dup": simhash_nd,
     }
@@ -5363,6 +5396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_pagerank": q_link_graph_pagerank,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "near_dup_clusters": q_near_dup_clusters,
+        "leakage_safe_split": q_leakage_safe_split,
         "simhash_near_dup": q_simhash_near_dup,
         # distributed BPE tokenizer training (iterative argmax-merge
         # loop, unrolled-CTE oracle; ann_ivf demoted past-window — its

@@ -218,6 +218,51 @@ def assign_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Near-dup-aware train/validation split: every document in a
+    near-duplicate CLUSTER gets the split of its cluster (min-id
+    component label), so a doc and its near-copies can never straddle
+    train and val — the leakage mode a per-doc hash split
+    (:func:`assign_split`) cannot prevent. Reference intent: the
+    ingest pipeline's dedup-before-release contract generalized to
+    split assignment (clinvar_ingest deduplicates per release before
+    any downstream consumer sees rows).
+
+    ``pairs`` is any verified candidate-pair feed (MinHash+LSH,
+    SimHash, embedding near-dup). Singletons use their own id as the
+    group, so their assignment is bit-identical to
+    :func:`assign_split`.
+
+    Scale: components is O(E log diameter) keyed shuffles (never
+    quadratic — the pair feed is already bucket-capped upstream); the
+    label join back to the corpus is one equi-join whose right side
+    holds only docs that belong to some duplicate group (≪ corpus
+    after upstream exact dedup, AQE-broadcastable when small); the
+    hash assignment itself is a pure codegen projection."""
+    comp = connected_components(pairs, a_col, b_col).withColumnRenamed(
+        "node", id_col
+    )
+    out = docs.select(id_col).join(comp, id_col, "left")
+    group = F.coalesce(F.col("component"), F.col(id_col))
+    h = F.conv(
+        F.substring(F.md5(group.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return out.select(
+        F.col(id_col),
+        group.alias("group_id"),
+        F.when(F.pmod(h, F.lit(100)) < val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def flag_contaminated(
     train: DataFrame,
     eval_set: DataFrame,

@@ -644,3 +644,38 @@ def test_gopher_alpha_fraction_rule(spark):
     g = out[1]
     assert (g["n_words"], g["n_alpha_words"]) == (80, 60)
     assert g["keep"] is False  # 60/80 = 0.75 < 0.8
+
+
+def test_leakage_safe_split_clusters_share_split(spark):
+    from clinvar_ingest_spark.operators.curation import (
+        assign_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id long"
+    )
+    # two clusters: {1,2,3} (transitively via 1-2, 2-3) and {7,8};
+    # 4,5,6,9,10 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = leakage_safe_split(docs, pairs, val_pct=40).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 10
+    # whole cluster shares the min-id group AND the split
+    assert {by_id[i].group_id for i in (1, 2, 3)} == {1}
+    assert len({by_id[i].split for i in (1, 2, 3)}) == 1
+    assert {by_id[i].group_id for i in (7, 8)} == {7}
+    assert len({by_id[i].split for i in (7, 8)}) == 1
+    # singletons group to themselves and match the plain hash split
+    plain = {
+        r.doc_id: r.split
+        for r in assign_split(docs, val_pct=40).collect()
+    }
+    for i in (4, 5, 6, 9, 10):
+        assert by_id[i].group_id == i
+        assert by_id[i].split == plain[i]
+    # cluster members inherit the REPRESENTATIVE's hash, not their own
+    assert by_id[2].split == plain[1]
+    assert by_id[8].split == plain[7]
