@@ -4168,6 +4168,62 @@ SELECT canon, count(*) AS n_events FROM canon GROUP BY canon ORDER BY canon
 """
 
 
+def q_dsir_selection(spark, sf_dir):
+    """DSIR-style data selection (hashed unigram+bigram importance
+    weights toward an in-domain target — here the English slice):
+    the model is capped at n_buckets rows BY CONSTRUCTION (feature
+    hashing), so it broadcasts at any corpus size; scores are
+    commutative BIGINT sums of integer-rational bucket weights, so
+    both engines agree bit-for-bit."""
+    from clinvar_ingest_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    return dsir_importance_weights(d, target, n_buckets=4096).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_DSIR = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(ts || CASE WHEN len(ts) >= 2
+           THEN list_transform(list_zip(ts[1:len(ts)-1], ts[2:len(ts)]),
+                               p -> p[1] || ' ' || p[2])
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM toks
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+  FROM grams
+),
+raw_c AS (SELECT b, count(*) AS c_r FROM b GROUP BY b),
+tgt_c AS (SELECT b, count(*) AS c_t FROM b WHERE lang = 'en' GROUP BY b),
+model AS (
+  SELECT r.b, ((coalesce(t.c_t, 0) + 1) * 1000000) // (r.c_r + 1) AS w
+  FROM raw_c r LEFT JOIN tgt_c t USING (b)
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_grams, sum(w) AS dsir_score
+  FROM b JOIN model USING (b) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.dsir_score, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_corpus_freq_score(spark, sf_dir):
     """Unigram corpus-frequency quality scoring (two-pass: vocab counts
     → broadcast-join scoring); deterministic integer-sum formulation
@@ -5514,6 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
         "corpus_freq_score": q_corpus_freq_score,
+        "dsir_selection": q_dsir_selection,
         "brand_supplier_counts": q_brand_supplier_counts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "fast_movers_suppliers": q_fast_movers_suppliers,
@@ -5650,6 +5707,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "eval_decontamination": _SQL_DECONTAM,
         "canonical_urls": _SQL_CANONICAL,
         "corpus_freq_score": _SQL_FREQ_SCORE,
+        "dsir_selection": _SQL_DSIR,
         "bigram_freq_score": _SQL_BIGRAM_SCORE,
         "ann_pq_topk": _SQL_ANN_PQ,
         "ann_ivf_pq": _SQL_ANN_IVF_PQ,

@@ -372,6 +372,106 @@ def corpus_frequency_score(
     return scored
 
 
+def _hashed_grams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, b) — one row per unigram AND adjacent bigram, hashed into a
+    fixed bucket space: ``b = int(md5(gram)[:8], 16) mod n_buckets``.
+    Pure codegen (tokenize once, zip the array with its own tail for
+    bigrams); the md5 arithmetic is byte-identical in DuckDB."""
+    from clinvar_ingest_spark.functions.text import ws_tokens
+
+    toks = F.filter(
+        ws_tokens(F.lower(F.col(text_col))), lambda x: x != F.lit("")
+    )
+    tail = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, tail),
+            F.slice(toks, 2, tail),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(
+        id_col,
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 65536,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., NeurIPS 2023): score each
+    raw document by how much its hashed n-gram (unigram+bigram) feature
+    distribution resembles a small in-domain ``target`` corpus, so the
+    corpus can be importance-resampled toward the target domain.
+
+    The model here is an integer-rational surrogate of DSIR's
+    per-feature log-ratio: each bucket weighs
+    ``((c_target + 1) * scale) div (c_raw + 1)`` (add-one smoothed,
+    truncating division), and a document scores the SUM of its grams'
+    bucket weights — commutative BIGINT adds, so the result is
+    bit-identical across engines and partitionings where a float
+    log-sum would drift with summation order.
+
+    Scale: this is the one scoring model in the family that is bounded
+    **by construction** — feature hashing caps the model at
+    ``n_buckets`` rows no matter how large the corpus vocabulary grows
+    (the entire point of DSIR's hashed features), so the model side is
+    always broadcastable; no ``min_count`` floor or measured
+    broadcast/shuffle switch is needed. Pass 1 is two map-side
+    combinable counts (target grams, raw grams); pass 2 is a broadcast
+    equi-join of the exploded raw grams against the ≤``n_buckets``-row
+    weight table plus one hash aggregate. At ``scale=10**6`` the
+    per-bucket weight stays < 10**6 · c_target, so corpus sizes to
+    ~10**12 grams stay inside BIGINT.
+
+    Output: ``(id, n_grams, dsir_score)``; gram-less documents score 0.
+    Reference intent: the curated-release quality gate of the ingest
+    pipeline (clinvar_ingest filters releases before publication) with
+    a trainable-data-selection criterion."""
+    raw_g = _hashed_grams(raw, id_col, text_col, n_buckets)
+    tgt_c = (
+        _hashed_grams(target, id_col, text_col, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    raw_c = raw_g.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    model = raw_c.join(tgt_c, "b", "left").select(
+        "b",
+        F.expr(
+            f"((coalesce(c_t, 0L) + 1L) * {scale}L) div (c_r + 1L)"
+        ).alias("w"),
+    )
+    scored = (
+        raw_g.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w").alias("dsir_score"),
+        )
+    )
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("dsir_score", F.lit(0)).alias("dsir_score"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 256,

@@ -679,3 +679,61 @@ def test_leakage_safe_split_clusters_share_split(spark):
     # cluster members inherit the REPRESENTATIVE's hash, not their own
     assert by_id[2].split == plain[1]
     assert by_id[8].split == plain[7]
+
+
+def test_dsir_importance_weights_exact(spark):
+    """Hand-computed bucket weights on a collision-free bucket space."""
+    import hashlib
+
+    from clinvar_ingest_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    B, SCALE = 1 << 20, 1_000_000
+    texts = {
+        1: "apple banana",
+        2: "apple banana",
+        3: "zebra yak",
+        4: "",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    target = docs.filter("doc_id = 1")
+
+    def grams(t):
+        ts = [x for x in t.lower().strip().split() if x]
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    raw_c, tgt_c = {}, {}
+    for d, t in texts.items():
+        for g in grams(t):
+            b = bucket(g)
+            raw_c[b] = raw_c.get(b, 0) + 1
+            if d == 1:
+                tgt_c[b] = tgt_c.get(b, 0) + 1
+    # collision-free fixture or the hand model is wrong
+    assert len(raw_c) == len({g for t in texts.values() for g in grams(t)})
+    expect = {}
+    for d, t in texts.items():
+        gs = grams(t)
+        expect[d] = (
+            len(gs),
+            sum(
+                ((tgt_c.get(bucket(g), 0) + 1) * SCALE)
+                // (raw_c[bucket(g)] + 1)
+                for g in gs
+            ),
+        )
+
+    out = dsir_importance_weights(docs, target, n_buckets=B)
+    got = {r.doc_id: (r.n_grams, r.dsir_score) for r in out.collect()}
+    assert got == expect
+    # the target-domain duplicate outranks the off-domain doc, and the
+    # gram-less doc scores zero
+    assert got[2][1] > got[3][1] and got[4] == (0, 0)
+    # the bounded-by-construction model side broadcasts
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().toString()
