@@ -3307,6 +3307,90 @@ def q_cdc_rollback_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "text").orderBy("url")
 
 
+def q_cdc_clone_state(spark, sf_dir):
+    """Shallow clone (Delta SHALLOW CLONE analog) mid-replay: after
+    batch 1 of 2 the table is cloned ZERO-COPY (one root manifest
+    referencing the source's files); batch 2 then lands on the source
+    only, the source is compacted and its history expired
+    (``vacuum_orphans(keep_snapshots=1)``) — the exact sequence that
+    corrupts Delta shallow clones. The clone-aware GC must keep every
+    clone-referenced file, so the gate value-hashes BOTH final states:
+    main = full replay, clone = frozen mid-replay LWW state."""
+    import tempfile
+
+    from clinvar_ingest_spark.sources import ChangeLogSource
+    from clinvar_ingest_spark.streaming import IngestPipeline
+    from clinvar_ingest_spark.tables import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    log = _events_as_change_log(spark, sf_dir)
+    src = ChangeLogSource(log)
+    end = src.max_seq()
+    span = end // 2 + 1
+    path = tempfile.mkdtemp(prefix="cdc_clone_gate_")
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(
+        schema
+    )
+    pipe = IngestPipeline(spark, src, tbl)
+    pipe.run_batch(src.plan_batches(-1, end, span)[0], log_end_seq=end)
+    clone = tbl.shallow_clone(tempfile.mkdtemp(prefix="cdc_clone_dst_"))
+    pipe.run_to_end(span=span, end_seq=end)
+    tbl.compact()  # rewrites buckets → pre-clone files leave the head
+    tbl.vacuum_orphans(keep_snapshots=1)  # …and leave history entirely
+    main = (
+        tbl.read()
+        .select("url", "seq", "text")
+        .withColumn("side", F.lit("main"))
+    )
+    mid = (
+        clone.read()
+        .select("url", "seq", "text")
+        .withColumn("side", F.lit("clone"))
+    )
+    return main.unionByName(mid).orderBy("side", "url")
+
+
+_SQL_CDC_CLONE = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+cut AS (SELECT max(event_id) // 2 AS c FROM events),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+winners_mid AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log, cut WHERE seq <= c
+)
+SELECT url, seq, text, 'main' AS side
+FROM winners WHERE rn = 1 AND op <> 'delete'
+UNION ALL
+SELECT url, seq, text, 'clone' AS side
+FROM winners_mid WHERE rn = 1 AND op <> 'delete'
+ORDER BY side, url
+"""
+
+
 def q_cdc_ivm_domain_stats(spark, sf_dir):
     """Delta-based incremental view maintenance (counting algorithm,
     Gupta et al. SIGMOD '93): a per-domain (count, sum-chars) rollup is
@@ -5420,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_curated_corpus": q_cdc_curated_corpus,
         "cdc_incremental_neardup": q_cdc_incremental_neardup,
         "cdc_dml_state": q_cdc_dml_state,
+        "cdc_clone_state": q_cdc_clone_state,
         "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_ivm_domain_stats": q_cdc_ivm_domain_stats,
         "cdc_ivm_index": q_cdc_ivm_index,
@@ -5434,18 +5519,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tree_disassemble": q_tree_disassemble,
         "event_time_windows": q_event_time_windows,
         "stream_change_feed": q_stream_change_feed,
-        "ndjson_roundtrip": q_ndjson_roundtrip,
         # -- tier 2: LWW dedup + join operators -------------------------
         # (lww_latest_event_salted demoted past-window for the as-of
         # join gate: same LWW mechanism as lww_latest_event, driver-green
-        # r1-r5; keeps tools/check_oracle.py coverage)
+        # r1-r5; keeps tools/check_oracle.py coverage. ndjson_roundtrip /
+        # pricing_summary / revenue_by_nation demoted for the
+        # shallow-clone / leakage-split / DSIR gates: each driver-green
+        # r1-r4, and the TPC-H pair stays perf-gated in bench.py.)
         "lww_latest_event": q_lww_latest_event,
         "range_join_1day": q_range_join_1day,
         # point-in-time join, bucketed skew path (operators/joins.py)
         "asof_purchase_state": q_asof_purchase_state,
-        # -- tier 3: TPC-H analytical shapes ----------------------------
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
         # -- tier 5: flagship LLM-pipeline ops --------------------------
         "exact_dedup_docs": q_exact_dedup_docs,
         "chunk_dedup_docs": q_chunk_dedup_docs,
@@ -5502,7 +5586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": q_page_outlinks,
         "hist_quantiles_price": q_hist_quantiles_price,
         "multimodal_audio_features": q_multimodal_audio_features,
+        # DSIR data selection (bounded-by-construction hashed model)
+        "dsir_selection": q_dsir_selection,
         # ============ driver correctness window ends here (50) =========
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
         "inverted_index": q_inverted_index,
         "ann_ivf": q_ann_ivf,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5570,7 +5659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
         "corpus_freq_score": q_corpus_freq_score,
-        "dsir_selection": q_dsir_selection,
         "brand_supplier_counts": q_brand_supplier_counts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "fast_movers_suppliers": q_fast_movers_suppliers,
@@ -5714,6 +5802,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "zorder_events": _SQL_ZORDER,
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
+        "cdc_clone_state": _SQL_CDC_CLONE,
         "cdc_rollback_state": _SQL_CDC_STATE,
         "cdc_purge_state": _SQL_CDC_PURGE,
         "cdc_ivm_domain_stats": _SQL_CDC_IVM,

@@ -1431,6 +1431,222 @@ class SnapshotTable:
         finally:
             self._release_lock(lock)
 
+    # -- shallow clone (Delta SHALLOW CLONE / Iceberg snapshot-ref
+    # table analog): a NEW table whose root manifest references the
+    # source's data files by absolute path — zero bytes copied. Both
+    # tables then diverge independently (every write path commits new
+    # files under its OWN data dir). Unlike Delta — where VACUUM on the
+    # source silently breaks clones — the source keeps a clone registry
+    # and its GC treats clone-reachable files as referenced; ownership
+    # ops (purge_key, drop) refuse while foreign references exist, and
+    # materialize() converts shallow→deep to restore full ownership.
+    def _clones_path(self) -> str:
+        return os.path.join(self.path, "_clones.json")
+
+    def _read_clones(self) -> list[str]:
+        try:
+            with open(self._clones_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return []
+
+    def _write_clones(self, clones: list[str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(clones, f)
+        os.replace(tmp, self._clones_path())
+
+    def clones(self) -> list[str]:
+        """Registered shallow-clone paths whose table still exists
+        (dropped clones self-deregister on the next read/vacuum)."""
+        return [
+            p
+            for p in self._read_clones()
+            if os.path.exists(os.path.join(p, _PTR))
+        ]
+
+    def _data_root(self) -> str:
+        return os.path.realpath(os.path.join(self.path, _DATA))
+
+    def _foreign_files(self, manifests: list[dict[str, Any]]) -> list[str]:
+        """Referenced data files living OUTSIDE this table's data dir
+        (non-empty exactly while a shallow clone is un-materialized)."""
+        root = self._data_root() + os.sep
+        out = set()
+        for m in manifests:
+            for files in m["buckets"].values():
+                for f in files:
+                    if not os.path.realpath(f).startswith(root):
+                        out.add(f)
+        return sorted(out)
+
+    def shallow_clone(self, dst_path: str) -> "SnapshotTable":
+        """Create a zero-copy clone of the current snapshot at
+        ``dst_path``: one root manifest referencing the source's files,
+        written under the source commit lock so a concurrent
+        vacuum/expiry cannot sweep the referenced files mid-clone. The
+        clone's snapshot numbering CONTINUES from the source's current
+        id, so the write-epoch hints embedded in inherited file paths
+        (``s{sid}-``) stay strictly older than any future clone commit
+        and rename-epoch schema resolution keeps working unchanged.
+
+        Scale: metadata-only — O(#files) manifest JSON on the driver,
+        no Spark job, no data movement; cloning a 100 TB table costs
+        the same as cloning a 100 MB one."""
+        lock = self._acquire_lock()
+        try:
+            m = self.current_manifest()
+            if m is None:
+                raise ValueError(f"table {self.path} does not exist")
+            if self._branch is not None:
+                raise ValueError(
+                    "clone from the main table (tag or fast-forward the "
+                    "branch first)"
+                )
+            clone = SnapshotTable(
+                self.spark,
+                dst_path,
+                key_col=self.key_col,
+                n_buckets=int(m.get("n_buckets", self.n_buckets)),
+                write_salts=self.write_salts,
+            )
+            if clone.exists():
+                raise ValueError(f"table {dst_path} already exists")
+            sid = int(m["snapshot_id"])
+            manifest: dict[str, Any] = {
+                "snapshot_id": sid,
+                "parent_id": -1,
+                "parent_name": None,
+                "key_col": self.key_col,
+                "n_buckets": int(m.get("n_buckets", self.n_buckets)),
+                "schema": m["schema"],
+                "buckets": {
+                    b: [os.path.realpath(f) for f in files]
+                    for b, files in m["buckets"].items()
+                },
+                "properties": {
+                    **m.get("properties", {}),
+                    "cloned_from": os.path.realpath(self.path),
+                    "clone_src_snapshot_id": sid,
+                },
+                "stats": dict(m.get("stats", {})),
+                "read_mode": m.get("read_mode", "plain"),
+            }
+            if m.get("order_cols"):
+                manifest["order_cols"] = list(m["order_cols"])
+            for k in ("renames", "dropped"):
+                if m.get(k):
+                    manifest[k] = m[k]
+            os.makedirs(os.path.join(dst_path, _MANIFESTS), exist_ok=True)
+            name = f"m-{sid:08d}-{uuid.uuid4().hex[:8]}.json"
+            with open(os.path.join(dst_path, _MANIFESTS, name), "w") as f:
+                json.dump(manifest, f)
+            fd, tmp = tempfile.mkstemp(dir=dst_path)
+            with os.fdopen(fd, "w") as f:
+                f.write(name)
+            os.replace(tmp, clone._ptr_path())
+            registry = self._read_clones()
+            real_dst = os.path.realpath(dst_path)
+            if real_dst not in registry:
+                registry.append(real_dst)
+                self._write_clones(registry)
+            return clone
+        finally:
+            self._release_lock(lock)
+
+    def materialize(self) -> CommitResult | None:
+        """Convert a shallow clone into a self-contained table: copy
+        every FOREIGN-referenced data file into this table's own data
+        dir (preserving the original ``s{sid}-`` epoch dir name so
+        write-epoch schema resolution is untouched) and commit a
+        manifest with the paths swapped. Files already owned are not
+        touched; returns ``None`` when nothing is foreign.
+
+        Driver-side byte copy here (local FS); on a real cluster this
+        step is a distributed file copy (one task per file) with the
+        same path arithmetic — the manifest swap is identical."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        manifests = [self._load_manifest(n) for n in self.history()]
+        foreign = set(self._foreign_files(manifests))
+        if not foreign:
+            return None
+        root = self._data_root()
+        mapping: dict[str, str] = {}
+        for f in sorted(foreign):
+            real = os.path.realpath(f)
+            # keep .../data/s{sid}-*/file.parquet tail; fall back to the
+            # last two path components for layouts without a data dir
+            mm = re.search(rf"/{_DATA}/(s\d{{8}}-[^/]*/.+)$", real)
+            tail = mm.group(1) if mm else "/".join(real.split("/")[-2:])
+            dst = os.path.join(root, tail)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):
+                shutil.copyfile(real, dst)
+            mapping[f] = dst
+        lock = self._acquire_lock()
+        try:
+            # re-resolve the whole chain under the lock and swap paths
+            # in every manifest IN PLACE (same shape as purge_key's
+            # remap): history, tags, and time travel all become
+            # self-contained, not just the head
+            head = self._read_ptr()
+            for mname in self.history():
+                mm_ = self._load_manifest(mname)
+                changed = False
+                for b, files in mm_["buckets"].items():
+                    nf = [mapping.get(f, f) for f in files]
+                    if nf != files:
+                        mm_["buckets"][b] = nf
+                        changed = True
+                if changed:
+                    mm_.pop("_name", None)
+                    fd, tmp = tempfile.mkstemp(
+                        dir=os.path.join(self.path, _MANIFESTS)
+                    )
+                    with os.fdopen(fd, "w") as f:
+                        json.dump(mm_, f)
+                    os.replace(
+                        tmp, os.path.join(self.path, _MANIFESTS, mname)
+                    )
+            cur = self._load_manifest(head)
+            # deregister from the source's clone registry — ownership
+            # is now local, the source may GC/purge freely
+            src = cur.get("properties", {}).get("cloned_from")
+            if src and os.path.isdir(src):
+                try:
+                    src_tbl = SnapshotTable(
+                        self.spark, src, key_col=self.key_col
+                    )
+                    # the registry is read-modify-write: take the
+                    # SOURCE's lock (registration in shallow_clone
+                    # holds it too). Lock order is always
+                    # clone-then-source, so no cycle.
+                    slock = src_tbl._acquire_lock()
+                    try:
+                        reg = src_tbl._read_clones()
+                        me = os.path.realpath(self.path)
+                        if me in reg:
+                            reg.remove(me)
+                            src_tbl._write_clones(reg)
+                    finally:
+                        src_tbl._release_lock(slock)
+                except OSError:
+                    pass
+        finally:
+            self._release_lock(lock)
+        n = int(cur.get("stats", {}).get("n_rows", -1))
+        return CommitResult(
+            int(cur["snapshot_id"]),
+            os.path.join(self.path, _MANIFESTS, head),
+            [],
+            0,
+            0,
+            n,
+            cur.get("properties", {}),
+        )
+
     def create(self, schema: T.StructType, properties: dict[str, Any] | None = None):
         if self.exists():
             raise ValueError(f"table {self.path} already exists")
@@ -2493,6 +2709,33 @@ class SnapshotTable:
                 roots.append(p)
             for files in m["buckets"].values():
                 referenced.update(os.path.realpath(f) for f in files)
+        # shallow clones reference this table's files by absolute path:
+        # every live clone's reachable manifests are GC roots too (this
+        # is the contract Delta's VACUUM breaks — a vacuumed source
+        # silently corrupts its shallow clones). Dropped clones fall
+        # out of clones() and stop pinning anything.
+        for cpath in self.clones():
+            ctbl = SnapshotTable(self.spark, cpath, key_col=self.key_col)
+            croots = (
+                list(ctbl.history())
+                + list(ctbl._read_staged().values())
+                + list(ctbl._read_branches().values())
+            )
+            cseen: set[str] = set()
+            while croots:
+                name = croots.pop()
+                if name in cseen:
+                    continue
+                cseen.add(name)
+                try:
+                    m = ctbl._load_manifest(name)
+                except OSError:
+                    continue
+                p = m.get("parent_name")
+                if p is not None:
+                    croots.append(p)
+                for files in m["buckets"].values():
+                    referenced.update(os.path.realpath(f) for f in files)
         data_root = os.path.join(self.path, _DATA)
         removed = kept = 0
         for dirpath, _dirs, files in os.walk(data_root):
@@ -2556,6 +2799,24 @@ class SnapshotTable:
         head = self.current_manifest()
         if head is None:
             raise ValueError(f"table {self.path} does not exist")
+        # file-ownership guard: purging rewrites data files to NEW paths
+        # and unlinks the old ones, which a shallow clone (either
+        # direction) still references. GDPR must cover the clone anyway
+        # — it is an independent table holding the key.
+        live_clones = self.clones()
+        if live_clones:
+            raise ValueError(
+                "purge_key with live shallow clones would unlink files "
+                f"the clones still reference: {live_clones} — purge and "
+                "materialize (or drop) each clone first"
+            )
+        chain_ms = [self._load_manifest(n) for n in self.history()]
+        if self._foreign_files(chain_ms):
+            raise ValueError(
+                "this table is an un-materialized shallow clone — its "
+                "purge would rewrite/unlink files owned by the source "
+                "table; call materialize() first"
+            )
 
         def _reachable() -> list[dict[str, Any]]:
             # main chain + staged (WAP) heads + branch heads, with
@@ -2725,5 +2986,12 @@ class SnapshotTable:
         )
 
     def drop(self):
+        live = self.clones() if self.exists() else []
+        if live:
+            raise ValueError(
+                "dropping this table would delete files its shallow "
+                f"clones still reference: {live} — materialize or drop "
+                "the clones first"
+            )
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)

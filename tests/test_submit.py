@@ -114,6 +114,12 @@ def test_driver_window_membership_is_pinned():
         # temperature mixture
         "cdc_purge_state", "keyword_search_topk",
         "quality_classifier_scores", "temperature_resample",
+        # round-5 fifth wave: zero-copy shallow clone under GC pressure,
+        # near-dup-aware train/val split, DSIR data selection
+        # (ndjson_roundtrip / pricing_summary / revenue_by_nation
+        # demoted: driver-green r1-r4, TPC-H pair stays in bench.py)
+        "cdc_clone_state", "leakage_safe_split", "dsir_selection",
+        "hist_quantiles_price", "multimodal_audio_features",
     }
     missing = gate_critical - set(w)
     assert not missing, f"gate queries fell out of the driver window: {missing}"
