@@ -4308,6 +4308,33 @@ ORDER BY d.doc_id
 """
 
 
+def q_column_profile_docs(spark, sf_dir):
+    """Deequ-style data-quality profile of the documents table: one
+    aggregation pass producing per-column completeness, exact
+    distinctness, and native-type min/max. The approx (HLL) variant is
+    the 100-TB path and is bounds-tested in tests/test_profile.py."""
+    from clinvar_ingest_spark.operators.profile import column_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return column_profile(d).orderBy("column")
+
+
+def _sql_column_profile() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 def q_corpus_freq_score(spark, sf_dir):
     """Unigram corpus-frequency quality scoring (two-pass: vocab counts
     → broadcast-join scoring); deterministic integer-sum formulation
@@ -5659,6 +5686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "domain_stratified_sample": q_domain_stratified_sample,
         "corpus_freq_score": q_corpus_freq_score,
+        "column_profile_docs": q_column_profile_docs,
         "brand_supplier_counts": q_brand_supplier_counts,
         "small_quantity_revenue": q_small_quantity_revenue,
         "fast_movers_suppliers": q_fast_movers_suppliers,
@@ -5795,6 +5823,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "eval_decontamination": _SQL_DECONTAM,
         "canonical_urls": _SQL_CANONICAL,
         "corpus_freq_score": _SQL_FREQ_SCORE,
+        "column_profile_docs": _sql_column_profile(),
         "dsir_selection": _SQL_DSIR,
         "bigram_freq_score": _SQL_BIGRAM_SCORE,
         "ann_pq_topk": _SQL_ANN_PQ,
