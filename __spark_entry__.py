@@ -2451,6 +2451,50 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-quantize the embedding
+    corpus into cells (shuffle-free literal assignment), then within
+    each cell mark every vector with an earlier neighbor at cosine ≥
+    threshold — only the first member of a semantic-duplicate chain
+    survives. The threshold here (0.40) is tuned to this synthetic
+    corpus's tail; the mechanism is threshold-agnostic."""
+    from clinvar_ingest_spark.operators.similarity_dedup import (
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_cells=8, threshold=0.40).orderBy("vec_id")
+
+
+_SQL_SEMANTIC_DEDUP = """
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT x.vec_id
+  FROM assigned x JOIN assigned y
+    ON x.cell_id = y.cell_id AND y.vec_id < x.vec_id
+  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                     y.embedding::DOUBLE[]), 4) >= 0.40
+)
+SELECT a.vec_id, CAST(a.cell_id AS INTEGER) AS cell_id,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
 _SQL_NEAR_DUP = """
 WITH b AS (
   SELECT vec_id, embedding,
@@ -5661,6 +5705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "running_total": q_running_total,
         "revenue_filter_agg": q_revenue_filter_agg,
         "order_priority_check": q_order_priority_check,
@@ -5799,6 +5844,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "rollup_totals": _SQL_ROLLUP,
         "quantity_percentiles": _SQL_PERCENTILES,
         "embedding_near_dup": _SQL_NEAR_DUP,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "prioritized_lookup": _SQL_PRIORITIZED,
         "synthetic_ids": _SQL_SYNTHETIC_IDS,
         "clean_empty_tokens": _SQL_CLEAN_EMPTY,

@@ -192,3 +192,68 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "first",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication of an
+    embedding corpus — cluster with a coarse k-means quantizer, then
+    WITHIN each cell mark every vector that has an earlier (lower-id)
+    neighbor at cosine ≥ ``threshold``; only the first member of each
+    semantic-duplicate chain survives. Returns
+    ``(id, cell_id, is_dup)``.
+
+    This is the published algorithm's shape exactly: clustering makes
+    the pairwise step tractable by confining it to cells (near-dups
+    land in the same cell because they are near the same centroid),
+    trading a vanishing recall loss at cell boundaries for an
+    O(n·cell_size) bound instead of O(n²).
+
+    Scale: the cell assignment is shuffle-free (centroids are a plan
+    literal, :func:`~clinvar_ingest_spark.operators.ann.ivf_assign`);
+    the within-cell self-join shuffles once on ``cell_id``. Size
+    ``n_cells`` ∝ corpus so cells stay ~10⁴–10⁵ vectors (SemDeDup uses
+    50k cells at 10⁹ docs); a pathologically hot cell is bounded the
+    same way as the LSH family — raise ``n_cells`` (more, smaller
+    cells) or pre-cap with the banded variants. Cosine is 4dp-rounded
+    at the threshold gate so the verdict is engine-stable.
+    """
+    from clinvar_ingest_spark.functions.similarity import cosine
+    from clinvar_ingest_spark.operators.ann import ivf_assign
+
+    _cents, assigned = ivf_assign(
+        corpus, n_cells, id_col, vec_col, centroid_mode
+    )
+    slim = assigned.select(id_col, "cell_id", vec_col)
+    x, y = slim.alias("x"), slim.alias("y")
+    dup = (
+        x.join(
+            y,
+            (F.col("x.cell_id") == F.col("y.cell_id"))
+            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
+        )
+        .where(
+            F.round(
+                cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
+            )
+            >= threshold
+        )
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        slim.select(id_col, "cell_id")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+        )
+    )

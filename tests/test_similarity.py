@@ -428,3 +428,25 @@ def test_hist_quantiles_exact_and_mergeable(spark):
         r["bin"] for r in hist_counts(oob, "v", lo=0, bin_shift=6, n_bins=200).collect()
     )
     assert bins == [0, 199]
+
+
+def test_semantic_dedup_chains_and_cells(spark):
+    from clinvar_ingest_spark.operators.similarity_dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),    # centroid/cell 1
+        (2, [0.0, 1.0]),    # centroid/cell 2
+        (3, [0.99, 0.01]),  # ~v1 -> dup (earlier neighbor 1)
+        (4, [0.98, -0.02]), # ~v1 -> dup (chain: only id 1 survives)
+        (5, [0.10, 0.95]),  # ~v2 -> dup in cell 2
+        (6, [-0.90, 0.10]), # cell 2, far from everything -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, n_cells=2, threshold=0.95, centroid_mode="first").collect()}
+    assert {i: out[i].is_dup for i in range(1, 7)} == {
+        1: False, 2: False, 3: True, 4: True, 5: True, 6: False
+    }
+    assert out[3].cell_id == out[1].cell_id == 1
+    assert out[5].cell_id == out[2].cell_id == 2
+    assert out[6].cell_id == 2
