@@ -2451,6 +2451,60 @@ def q_embedding_near_dup(spark, sf_dir):
     return pairs
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-aware crawl-frontier scheduling (the upstream
+    producer of this engine's change log): per-host fetch queues
+    ordered by recrawl priority, host-sharded so one fetcher owns a
+    host (the precondition for enforcing per-host delay at all), and
+    slot*delay fetch times. One keyed window — the true cost floor,
+    since a host's queue is inherently serial."""
+    from clinvar_ingest_spark.operators.crawl import crawl_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    frontier = (
+        ev.select(
+            F.concat(
+                F.lit("https://d"),
+                (F.col("user_id") % 7).cast("string"),
+                F.lit(".site/u"),
+                F.col("user_id").cast("string"),
+            ).alias("url"),
+            F.col("event_id"),
+        )
+        .groupBy("url")
+        .agg(F.max("event_id").alias("priority"))
+    )
+    return crawl_schedule(frontier, politeness_ms=250, n_fetchers=4).orderBy(
+        "host", "slot"
+    )
+
+
+_SQL_CRAWL_SCHEDULE = """
+WITH frontier AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         max(event_id) AS priority
+  FROM events GROUP BY 1
+),
+sched AS (
+  SELECT url,
+         lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         priority
+  FROM frontier
+)
+SELECT url, host,
+       CAST(CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % 4
+            AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY host
+              ORDER BY priority DESC, url ASC) - 1 AS INTEGER) AS slot,
+       CAST((row_number() OVER (PARTITION BY host
+              ORDER BY priority DESC, url ASC) - 1) * 250
+            AS BIGINT) AS fetch_at_ms
+FROM sched ORDER BY host, slot
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): coarse-quantize the embedding
     corpus into cells (shuffle-free literal assignment), then within
@@ -5706,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "crawl_schedule": q_crawl_schedule,
         "running_total": q_running_total,
         "revenue_filter_agg": q_revenue_filter_agg,
         "order_priority_check": q_order_priority_check,
@@ -5845,6 +5900,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "quantity_percentiles": _SQL_PERCENTILES,
         "embedding_near_dup": _SQL_NEAR_DUP,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "crawl_schedule": _SQL_CRAWL_SCHEDULE,
         "prioritized_lookup": _SQL_PRIORITIZED,
         "synthetic_ids": _SQL_SYNTHETIC_IDS,
         "clean_empty_tokens": _SQL_CLEAN_EMPTY,
