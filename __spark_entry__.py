@@ -3489,6 +3489,62 @@ ORDER BY side, url
 """
 
 
+def q_cdc_drift_stats(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift (data observability):
+    per-domain live-row counts of snapshot 1 vs snapshot 2 via time
+    travel, with exact-integer basis-point drift — the alert a CDC
+    pipeline fires when a domain's coverage collapses or explodes
+    between commits. Oracle replays both LWW cutoffs and the same
+    integer arithmetic."""
+    from clinvar_ingest_spark.functions.text import url_host
+    from clinvar_ingest_spark.operators.profile import distribution_drift
+
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    return distribution_drift(
+        tbl.read_at(1),
+        tbl.read_at(2),
+        url_host(F.col("url")),
+        alias="domain",
+    ).orderBy("domain")
+
+
+_SQL_CDC_DRIFT = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         'd' || CAST(user_id % 7 AS VARCHAR) || '.site' AS domain,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op
+  FROM events
+),
+cut AS (SELECT max(event_id) // 2 AS c FROM events),
+w1 AS (
+  SELECT domain, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log, cut WHERE seq <= c
+),
+w2 AS (
+  SELECT domain, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+a AS (SELECT domain, count(*) AS n_before FROM w1
+      WHERE rn = 1 AND op <> 'delete' GROUP BY domain),
+b AS (SELECT domain, count(*) AS n_after FROM w2
+      WHERE rn = 1 AND op <> 'delete' GROUP BY domain)
+SELECT coalesce(a.domain, b.domain) AS domain,
+       coalesce(a.n_before, 0) AS n_before,
+       coalesce(b.n_after, 0) AS n_after,
+       coalesce(b.n_after, 0) - coalesce(a.n_before, 0) AS delta,
+       (abs(coalesce(b.n_after, 0) - coalesce(a.n_before, 0)) * 10000)
+         // greatest(coalesce(a.n_before, 0), 1) AS drift_bps
+FROM a FULL OUTER JOIN b ON a.domain = b.domain
+ORDER BY domain
+"""
+
+
 def q_cdc_ivm_domain_stats(spark, sf_dir):
     """Delta-based incremental view maintenance (counting algorithm,
     Gupta et al. SIGMOD '93): a per-domain (count, sum-chars) rollup is
@@ -5761,6 +5817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "crawl_schedule": q_crawl_schedule,
+        "cdc_drift_stats": q_cdc_drift_stats,
         "running_total": q_running_total,
         "revenue_filter_agg": q_revenue_filter_agg,
         "order_priority_check": q_order_priority_check,
@@ -5901,6 +5958,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "embedding_near_dup": _SQL_NEAR_DUP,
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "crawl_schedule": _SQL_CRAWL_SCHEDULE,
+        "cdc_drift_stats": _SQL_CDC_DRIFT,
         "prioritized_lookup": _SQL_PRIORITIZED,
         "synthetic_ids": _SQL_SYNTHETIC_IDS,
         "clean_empty_tokens": _SQL_CLEAN_EMPTY,

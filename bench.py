@@ -320,23 +320,32 @@ def main():
             # without judge-side forensics, and exclude flagged rounds
             # from the headline when a clean round exists.
             n_rounds = len(eff_rounds)
-            hi_writes = [
-                STAGE_SPLITS.get(f"c{CORES_HI}_r{i}", {}).get("merge.write")
-                for i in range(n_rounds)
-            ]
-            known = sorted(w for w in hi_writes if w)
-            med = known[len(known) // 2] if known else None
             noise_flags = []
-            for i, w in enumerate(hi_writes):
-                if med and w and (w > 2 * med or w < med / 2):
-                    noise_flags.append(
-                        {
-                            "round": i,
-                            "leg": f"c{CORES_HI}",
-                            "merge_write": w,
-                            "session_median": med,
-                        }
-                    )
+            # Per-LEG outlier test: a noise episode only ever SLOWS a
+            # leg, so a round whose merge.write wall exceeds 1.5x its
+            # same-leg session median is an episode, not an engine
+            # measurement. Genuine scaling behavior is consistent
+            # across rounds and moves the median with it — it can
+            # never self-flag. (The r4 threshold of 2x on the hi leg
+            # alone let a 1.54x episode pass while dragging the paired
+            # ratio to 0.58.)
+            for cores in (CORES_LO, CORES_HI):
+                writes = [
+                    STAGE_SPLITS.get(f"c{cores}_r{i}", {}).get("merge.write")
+                    for i in range(n_rounds)
+                ]
+                known = sorted(w for w in writes if w)
+                med = known[len(known) // 2] if known else None
+                for i, w in enumerate(writes):
+                    if med and w and w > 1.5 * med:
+                        noise_flags.append(
+                            {
+                                "round": i,
+                                "leg": f"c{cores}",
+                                "merge_write": w,
+                                "session_median": med,
+                            }
+                        )
             noisy = {f["round"] for f in noise_flags}
             clean = [e for i, e in enumerate(eff_rounds) if i not in noisy]
             # A paired ratio > 1 means the round's LO leg hit a noise

@@ -71,3 +71,47 @@ def column_profile(
         ]
     )
     return wide.select(F.explode(stats).alias("s")).select("s.*")
+
+
+def distribution_drift(
+    before: DataFrame,
+    after: DataFrame,
+    group_col,
+    alias: str = "group",
+) -> DataFrame:
+    """Per-group distribution drift between two table states (the
+    data-observability monitor a CDC pipeline runs between snapshots):
+    ``(group, n_before, n_after, delta, drift_bps)`` where
+    ``drift_bps = (|delta| * 10000) div max(n_before, 1)`` — basis
+    points of change, exact integer arithmetic so the alert verdict is
+    engine- and partitioning-stable (no float ratios).
+
+    ``group_col`` is any Column expression (domain, lang, source…).
+    Groups present on only one side surface with a zero count on the
+    other — appearing/vanishing groups are exactly the drifts that
+    matter most.
+
+    Scale: two map-side-combinable counts + one full-outer equi-join on
+    the group key (group cardinality ≪ rows; AQE broadcasts the small
+    side). Composes with time travel: ``read_at(a)`` vs ``read_at(b)``
+    costs two snapshot scans, or pair it with the IVM-maintained
+    rollup for O(changes) monitoring."""
+    a = before.groupBy(group_col.alias(alias)).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    b = after.groupBy(group_col.alias(alias)).agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    return (
+        a.join(b, alias, "full")
+        .select(
+            F.col(alias),
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .withColumn("delta", F.col("n_after") - F.col("n_before"))
+        .withColumn(
+            "drift_bps",
+            F.expr("(abs(delta) * 10000) div greatest(n_before, 1L)"),
+        )
+    )

@@ -46,3 +46,24 @@ def test_column_profile_approx_bounds(spark):
     # HLL++ rsd is a standard deviation, not a bound: allow ~4 sigma
     for c, e in exact.items():
         assert abs(approx[c] - e) <= max(3, int(0.08 * e)), (c, e, approx[c])
+
+
+def test_distribution_drift(spark):
+    from clinvar_ingest_spark.operators.profile import distribution_drift
+
+    before = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [("gone",)], "g string"
+    )
+    after = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 1 + [("new",)] * 3, "g string"
+    )
+    out = {
+        r["group"]: r
+        for r in distribution_drift(before, after, F.col("g")).collect()
+    }
+    assert (out["a"].n_before, out["a"].n_after, out["a"].delta) == (4, 5, 1)
+    assert out["a"].drift_bps == 2500
+    assert out["b"].drift_bps == 5000  # 2 -> 1
+    # vanishing and appearing groups both surface
+    assert (out["gone"].n_after, out["gone"].drift_bps) == (0, 10000)
+    assert (out["new"].n_before, out["new"].drift_bps) == (0, 30000)
