@@ -3227,6 +3227,7 @@ def _run_cdc(
     spark, sf_dir, n_batches: int, resume_midway: bool = False,
     merge_mode: str = "cow", return_table: bool = False,
     return_pipe: bool = False, derived=None, log_builder=None,
+    dlq: bool = False,
 ):
     import tempfile
 
@@ -3250,7 +3251,9 @@ def _run_cdc(
     span = end // n_batches + 1
     path = tempfile.mkdtemp(prefix="cdc_gate_")
     tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
-    pipe = IngestPipeline(spark, src, tbl, merge_mode=merge_mode, derived=derived)
+    pipe = IngestPipeline(
+        spark, src, tbl, merge_mode=merge_mode, derived=derived, dlq=dlq
+    )
     if resume_midway:
         ranges = src.plan_batches(-1, end, span)
         pipe.run_batch(ranges[0], log_end_seq=end)
@@ -3486,6 +3489,83 @@ UNION ALL
 SELECT url, seq, text, 'clone' AS side
 FROM winners_mid WHERE rn = 1 AND op <> 'delete'
 ORDER BY side, url
+"""
+
+
+def q_cdc_dlq_state(spark, sf_dir):
+    """Dead-letter queue (Kafka/Debezium DLQ contract): a corrupted
+    producer — unknown ops on seq%97==0, NULL keys on seq%101==3 —
+    feeds the pipeline with dlq=True; malformed rows are quarantined
+    per batch (with a reason) BEFORE the merge, so they neither poison
+    the LWW state nor kill the run. Gate hashes BOTH sides: per-domain
+    live counts of the final state AND per-reason dead counts."""
+    from clinvar_ingest_spark.functions.text import url_host
+
+    def corrupt(spark_, sf):
+        log = _events_as_change_log(spark_, sf)
+        return log.withColumn(
+            "op",
+            F.when(F.col("seq") % 97 == 0, F.lit("mutate")).otherwise(
+                F.col("op")
+            ),
+        ).withColumn(
+            "url",
+            F.when(
+                F.col("seq") % 101 == 3, F.lit(None).cast("string")
+            ).otherwise(F.col("url")),
+        )
+
+    pipe = _run_cdc(
+        spark, sf_dir, n_batches=2, return_pipe=True,
+        log_builder=corrupt, dlq=True,
+    )
+    live = (
+        pipe.current_state()
+        .groupBy(url_host(F.col("url")).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("live").alias("kind"), "key", "n")
+    )
+    dead = (
+        pipe.dead_letters()
+        .groupBy(F.col("_reason").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dead").alias("kind"), "key", "n")
+    )
+    return live.unionByName(dead).orderBy("kind", "key")
+
+
+_SQL_CDC_DLQ = """
+WITH log AS (
+  SELECT CASE WHEN event_id % 101 = 3 THEN NULL
+              ELSE 'https://d' || CAST(user_id % 7 AS VARCHAR)
+                   || '.site/u' || CAST(user_id AS VARCHAR) END AS url,
+         'd' || CAST(user_id % 7 AS VARCHAR) || '.site' AS domain,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_id % 97 = 0 THEN 'mutate'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op
+  FROM events
+),
+judged AS (
+  SELECT *,
+         CASE WHEN url IS NULL THEN 'null_key'
+              WHEN seq IS NULL THEN 'null_seq'
+              WHEN op NOT IN ('insert', 'update', 'delete')
+                THEN 'bad_op' END AS reason
+  FROM log
+),
+winners AS (
+  SELECT domain, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM judged WHERE reason IS NULL
+)
+SELECT 'live' AS kind, domain AS key, count(*) AS n
+FROM winners WHERE rn = 1 AND op <> 'delete' GROUP BY domain
+UNION ALL
+SELECT 'dead' AS kind, reason AS key, count(*) AS n
+FROM judged WHERE reason IS NOT NULL GROUP BY reason
+ORDER BY kind, key
 """
 
 
@@ -5818,6 +5898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "crawl_schedule": q_crawl_schedule,
         "cdc_drift_stats": q_cdc_drift_stats,
+        "cdc_dlq_state": q_cdc_dlq_state,
         "running_total": q_running_total,
         "revenue_filter_agg": q_revenue_filter_agg,
         "order_priority_check": q_order_priority_check,
@@ -5959,6 +6040,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "crawl_schedule": _SQL_CRAWL_SCHEDULE,
         "cdc_drift_stats": _SQL_CDC_DRIFT,
+        "cdc_dlq_state": _SQL_CDC_DLQ,
         "prioritized_lookup": _SQL_PRIORITIZED,
         "synthetic_ids": _SQL_SYNTHETIC_IDS,
         "clean_empty_tokens": _SQL_CLEAN_EMPTY,

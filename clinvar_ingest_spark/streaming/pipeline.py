@@ -45,6 +45,7 @@ class BatchReport:
     n_deletes: int = 0
     wall_sec: float = 0.0
     events_per_sec: float = 0.0
+    n_dead: int = 0
 
 
 class IngestPipeline:
@@ -58,10 +59,24 @@ class IngestPipeline:
         merge_mode: str = "cow",
         derived: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
         fused_extract: bool = False,
+        dlq: bool = False,
+        dlq_reason: Callable[[], object] | None = None,
     ):
         self.spark = spark
         self.source = source
         self.target = target
+        # Dead-letter queue: with dlq=True every batch routes rows that
+        # fail the validity rules into parquet under <target>/_dlq/
+        # batch=<id>/ (with a per-row `_reason`) BEFORE the merge, so a
+        # malformed producer record (null key, unknown op, null seq)
+        # can neither poison the LWW state nor kill the pipeline — the
+        # Kafka/Debezium DLQ contract. Exactly-once composes with the
+        # HWM fence: a fenced (already-committed) batch never rewrites
+        # its DLQ dir; a replayed UNcommitted batch overwrites the same
+        # dir idempotently. dlq_reason() may supply a custom Column —
+        # NULL for valid rows, a short reason string otherwise.
+        self.dlq = dlq
+        self._dlq_reason = dlq_reason
         # fused_extract=True runs the html→text extraction inside the
         # direct writer's Python stage (ONE JVM→Python crossing:
         # extract + parquet-encode together) instead of a Column-level
@@ -98,6 +113,29 @@ class IngestPipeline:
         return winners.withColumn(
             "text", F.coalesce(F.col("text"), extract_text("html"))
         )
+
+    # ------------------------------------------------------------ dlq
+    def invalid_reason(self):
+        """NULL for valid rows, else the FIRST failing rule's name
+        (precedence: null_key, null_seq, bad_op) — one codegen
+        when-chain, no Python."""
+        if self._dlq_reason is not None:
+            return self._dlq_reason()
+        return (
+            F.when(F.col(self.target.key_col).isNull(), F.lit("null_key"))
+            .when(F.col(self.source.seq_col).isNull(), F.lit("null_seq"))
+            .when(
+                ~F.col("op").isin("insert", "update", "delete"),
+                F.lit("bad_op"),
+            )
+        )
+
+    def dead_letters(self) -> DataFrame:
+        """Every quarantined row across batches, with `_reason` and the
+        `batch` partition column."""
+        return self.spark.read.option(
+            "basePath", f"{self.target.path}/_dlq"
+        ).parquet(f"{self.target.path}/_dlq/batch=*")
 
     # ------------------------------------------------------------ state
     def global_hwm(self) -> int:
@@ -226,6 +264,29 @@ class IngestPipeline:
         batch_id = self.last_batch_id() + 1
         raw = self.source.batch(rng)
 
+        n_dead = 0
+        if self.dlq:
+            # quarantine BEFORE profiling/merge: a null key would
+            # otherwise reach bucket_expr, and an unknown op would
+            # corrupt the upsert/delete split. One extra (filtered)
+            # scan per batch, only when dlq is on; the write is
+            # idempotent per batch dir under the same HWM fence as the
+            # data commit (fenced batches return above, never here).
+            from clinvar_ingest_spark.tables import _footer_rows
+
+            reason = self.invalid_reason()
+            dlq_path = f"{self.target.path}/_dlq/batch={batch_id}"
+            with stage("batch.dlq"):
+                raw.withColumn("_reason", reason).filter(
+                    F.col("_reason").isNotNull()
+                ).write.mode("overwrite").parquet(dlq_path)
+                import glob as _glob
+
+                n_dead = _footer_rows(
+                    _glob.glob(f"{dlq_path}/part-*.parquet")
+                )
+            raw = raw.filter(reason.isNull())
+
         # ONE profile job per batch: a single pruned-column scan
         # aggregates per (source partition, target bucket) and the
         # driver derives BOTH the lineage part-ranges AND the merge's
@@ -352,7 +413,7 @@ class IngestPipeline:
             self.refresh_derived()
         return BatchReport(
             batch_id, rng.lo, rng.hi, False, res.snapshot_id,
-            res.n_upserts, res.n_deletes, wall, eps,
+            res.n_upserts, res.n_deletes, wall, eps, n_dead,
         )
 
     def refresh_derived(self) -> dict[str, int]:

@@ -137,3 +137,81 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
     assert len(got) == 1 and got[0]["url"] == some_url
     # a url whose LWW winner was a delete yields nothing
     assert pipe.lookup("https://nope.example.com/x").count() == 0
+
+
+def _corrupt(log):
+    """Unknown op every 10th seq; null key every 7th."""
+    from pyspark.sql import functions as F
+
+    return log.withColumn(
+        "op",
+        F.when(F.col("seq") % 10 == 0, F.lit("mutate")).otherwise(
+            F.col("op")
+        ),
+    ).withColumn(
+        "url",
+        F.when(F.col("seq") % 7 == 3, F.lit(None).cast("string")).otherwise(
+            F.col("url")
+        ),
+    )
+
+
+def test_dlq_quarantines_and_protects_state(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    log = _corrupt(synthetic_change_log(spark, N, n_urls=150))
+    tbl = SnapshotTable(
+        spark, str(tmp_path / "t"), key_col="url", n_buckets=8
+    ).create(SCHEMA)
+    pipe = IngestPipeline(spark, ChangeLogSource(log), tbl, dlq=True)
+    reports = pipe.run_to_end(span=400)
+    assert sum(r.n_dead for r in reports) > 0
+
+    dead = pipe.dead_letters()
+    by_reason = {
+        r["_reason"]: r["n"]
+        for r in dead.groupBy("_reason").agg(F.count("*").alias("n")).collect()
+    }
+    # precedence: a row that is both null-key and bad-op counts null_key
+    exp_null = log.filter(F.col("url").isNull()).count()
+    exp_bad = log.filter(
+        F.col("url").isNotNull() & (F.col("op") == "mutate")
+    ).count()
+    assert by_reason == {"null_key": exp_null, "bad_op": exp_bad}
+
+    # the final state equals a clean pipeline fed only the valid rows
+    clean_tbl = SnapshotTable(
+        spark, str(tmp_path / "c"), key_col="url", n_buckets=8
+    ).create(SCHEMA)
+    clean = IngestPipeline(
+        spark,
+        ChangeLogSource(
+            log.filter(
+                F.col("url").isNotNull()
+                & F.col("op").isin("insert", "update", "delete")
+            )
+        ),
+        clean_tbl,
+    )
+    clean.run_to_end(span=400)
+    s = lambda p: sorted(
+        (r["url"], r["seq"], r["text"]) for r in p.current_state().collect()
+    )
+    assert s(pipe) == s(clean)
+
+
+def test_dlq_fenced_replay_does_not_rewrite(spark, tmp_path):
+    import os
+
+    log = _corrupt(synthetic_change_log(spark, 600, n_urls=80))
+    tbl = SnapshotTable(
+        spark, str(tmp_path / "t"), key_col="url", n_buckets=8
+    ).create(SCHEMA)
+    pipe = IngestPipeline(spark, ChangeLogSource(log), tbl, dlq=True)
+    pipe.run_to_end(span=300)
+    d0 = str(tmp_path / "t" / "_dlq" / "batch=0")
+    before = sorted(os.listdir(d0)), os.stat(d0).st_mtime_ns
+    # a fenced re-run of an applied range must not touch the DLQ dir
+    rep = pipe.run_batch(OffsetRange(-1, 299))
+    assert rep.skipped and rep.n_dead == 0
+    assert (sorted(os.listdir(d0)), os.stat(d0).st_mtime_ns) == before
