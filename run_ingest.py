@@ -58,6 +58,9 @@ def main(argv=None):
                     help="with --vacuum-orphans: expire all but newest N snapshots")
     ap.add_argument("--changes", nargs=2, type=int, metavar=("FROM", "TO"),
                     help="print the snapshot-diff changelog between two snapshots")
+    ap.add_argument("--dlq", action="store_true",
+                    help="quarantine malformed events (null key/seq, unknown "
+                         "op) to <table>/_dlq instead of failing the batch")
     args = ap.parse_args(argv)
 
     from clinvar_ingest_spark.session import get_spark
@@ -108,7 +111,9 @@ def main(argv=None):
         print("--log is required to ingest", file=sys.stderr)
         return 2
     src = ChangeLogSource(spark.read.parquet(args.log))
-    pipe = IngestPipeline(spark, src, tbl, dedup_strategy=args.strategy)
+    pipe = IngestPipeline(
+        spark, src, tbl, dedup_strategy=args.strategy, dlq=args.dlq
+    )
 
     if args.audit:
         print(json.dumps(pipe.verify_lineage()))
@@ -120,6 +125,7 @@ def main(argv=None):
             "batch_id": r.batch_id, "lo": r.lo, "hi": r.hi,
             "skipped": r.skipped, "snapshot_id": r.snapshot_id,
             "n_upserts": r.n_upserts, "n_deletes": r.n_deletes,
+            "n_dead": r.n_dead,
             "events_per_sec": round(r.events_per_sec, 1),
         }))
     return 0
