@@ -1468,6 +1468,31 @@ class SnapshotTable:
     def _data_root(self) -> str:
         return os.path.realpath(os.path.join(self.path, _DATA))
 
+    def _reachable_manifest_names(self) -> list[str]:
+        """Every manifest reachable from ANY root: the committed chain,
+        staged (WAP) heads, and branch heads, parent-walked."""
+        roots = (
+            list(self.history())
+            + list(self._read_staged().values())
+            + list(self._read_branches().values())
+        )
+        out: list[str] = []
+        seen: set[str] = set()
+        while roots:
+            name = roots.pop()
+            if name in seen:
+                continue
+            seen.add(name)
+            try:
+                m = self._load_manifest(name)
+            except OSError:
+                continue
+            out.append(name)
+            p = m.get("parent_name")
+            if p is not None:
+                roots.append(p)
+        return out
+
     def _foreign_files(self, manifests: list[dict[str, Any]]) -> list[str]:
         """Referenced data files living OUTSIDE this table's data dir
         (non-empty exactly while a shallow clone is un-materialized)."""
@@ -1512,6 +1537,16 @@ class SnapshotTable:
             )
             if clone.exists():
                 raise ValueError(f"table {dst_path} already exists")
+            # a clone of an UN-materialized clone would reference the
+            # grandparent's files while registering only with the
+            # parent — the grandparent's GC can't see it. Refuse until
+            # the chain is flattened.
+            if self._foreign_files([m]):
+                raise ValueError(
+                    "this table still references files it does not own "
+                    "(it is an un-materialized shallow clone) — call "
+                    "materialize() before cloning it"
+                )
             sid = int(m["snapshot_id"])
             manifest: dict[str, Any] = {
                 "snapshot_id": sid,
@@ -1568,7 +1603,13 @@ class SnapshotTable:
         m = self.current_manifest()
         if m is None:
             raise ValueError(f"table {self.path} does not exist")
-        manifests = [self._load_manifest(n) for n in self.history()]
+        # ALL reachable manifests — staged (WAP) and branch chains
+        # reference files too; remapping only the main chain would
+        # deregister while they still point at the source
+        manifests = [
+            self._load_manifest(n)
+            for n in self._reachable_manifest_names()
+        ]
         foreign = set(self._foreign_files(manifests))
         if not foreign:
             return None
@@ -1587,12 +1628,12 @@ class SnapshotTable:
             mapping[f] = dst
         lock = self._acquire_lock()
         try:
-            # re-resolve the whole chain under the lock and swap paths
-            # in every manifest IN PLACE (same shape as purge_key's
-            # remap): history, tags, and time travel all become
-            # self-contained, not just the head
+            # re-resolve every reachable manifest under the lock and
+            # swap paths IN PLACE (same shape as purge_key's remap):
+            # history, tags, staged refs, branches, and time travel all
+            # become self-contained, not just the head
             head = self._read_ptr()
-            for mname in self.history():
+            for mname in self._reachable_manifest_names():
                 mm_ = self._load_manifest(mname)
                 changed = False
                 for b, files in mm_["buckets"].items():
@@ -2810,7 +2851,9 @@ class SnapshotTable:
                 f"the clones still reference: {live_clones} — purge and "
                 "materialize (or drop) each clone first"
             )
-        chain_ms = [self._load_manifest(n) for n in self.history()]
+        chain_ms = [
+            self._load_manifest(n) for n in self._reachable_manifest_names()
+        ]
         if self._foreign_files(chain_ms):
             raise ValueError(
                 "this table is an un-materialized shallow clone — its "

@@ -149,3 +149,37 @@ def test_materialize_restores_ownership(spark, tmp_path):
     # purge now works on the self-contained clone too
     clone.purge_key("u2")
     assert "u2" not in _state(clone)
+
+
+def test_clone_of_unmaterialized_clone_refused(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src", [("u1", TS, 1, "v1", "insert")])
+    a = src.shallow_clone(str(tmp_path / "a"))
+    # A still references src's files: a grandchild would register with
+    # A but point at src, invisible to src's GC — refused
+    with pytest.raises(ValueError, match="materialize"):
+        a.shallow_clone(str(tmp_path / "b"))
+    a.materialize()
+    b = a.shallow_clone(str(tmp_path / "b"))
+    assert _state(b) == _state(a)
+
+
+def test_materialize_covers_branch_chains(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src", [("u1", TS, 1, "v1", "insert")])
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    clone.create_branch("audit")
+    clone.merge_upsert(
+        _batch(spark, [("u2", TS, 2, "v2", "insert")])
+    )
+    before_main = _state(clone)
+    before_branch = {
+        r["url"]: r["text"] for r in clone.branch("audit").read().collect()
+    }
+    clone.materialize()
+    assert src.clones() == []
+    src.drop()
+    # both the main chain AND the branch chain survive the source drop
+    assert _state(clone) == before_main
+    after_branch = {
+        r["url"]: r["text"] for r in clone.branch("audit").read().collect()
+    }
+    assert after_branch == before_branch == {"u1": "v1"}
