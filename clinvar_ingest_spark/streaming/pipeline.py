@@ -132,7 +132,9 @@ class IngestPipeline:
 
     def dead_letters(self) -> DataFrame:
         """Every quarantined row across batches, with `_reason` and the
-        `batch` partition column."""
+        `batch` partition column. Raises (no files to infer a schema
+        from) when nothing was ever quarantined — empty batch dirs are
+        pruned at write time."""
         return self.spark.read.option(
             "basePath", f"{self.target.path}/_dlq"
         ).parquet(f"{self.target.path}/_dlq/batch=*")
@@ -282,9 +284,14 @@ class IngestPipeline:
                 ).write.mode("overwrite").parquet(dlq_path)
                 import glob as _glob
 
-                n_dead = _footer_rows(
-                    _glob.glob(f"{dlq_path}/part-*.parquet")
-                )
+                parts = _glob.glob(f"{dlq_path}/part-*.parquet")
+                n_dead = _footer_rows(parts)
+                if not parts:
+                    # keep _dlq free of empty (_SUCCESS-only) batch
+                    # dirs so dead_letters() always infers a schema
+                    import shutil as _shutil
+
+                    _shutil.rmtree(dlq_path, ignore_errors=True)
             raw = raw.filter(reason.isNull())
 
         # ONE profile job per batch: a single pruned-column scan
