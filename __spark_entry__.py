@@ -4633,6 +4633,66 @@ ORDER BY doc_id
 """
 
 
+def q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing: per-LANGUAGE bigram
+    count-LM score, exact integer rank cut within each language —
+    ((rank-1)*3) div n_lang — so the sampling-policy input value-hashes
+    against the oracle (no approximate percentiles)."""
+    from clinvar_ingest_spark.operators.lm_score import ccnet_ppl_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return ccnet_ppl_buckets(d).orderBy("doc_id")
+
+
+_SQL_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, pair[1] AS prev, pair[2] AS tok
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS pair
+    FROM toks WHERE len(ts) >= 2
+  ) u
+),
+model AS (
+  SELECT lang, prev, tok, count(*) AS c FROM bg GROUP BY lang, prev, tok
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         round(avg(coalesce(m.c, 1)), 4) AS bigram_score,
+         count(*) AS n_bigrams
+  FROM bg b LEFT JOIN model m USING (lang, prev, tok)
+  GROUP BY b.doc_id, b.lang
+),
+allx AS (
+  SELECT doc_id, lang, bigram_score, CAST(n_bigrams AS BIGINT) AS n_bigrams
+  FROM scored
+  UNION ALL
+  SELECT doc_id, lang, 0.0, CAST(0 AS BIGINT)
+  FROM toks WHERE len(ts) < 2
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY bigram_score DESC, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM allx
+)
+SELECT doc_id, lang, bigram_score, n_bigrams,
+       CAST(((r - 1) * 3) // n AS INT) AS ppl_bucket,
+       CASE ((r - 1) * 3) // n
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+       END AS bucket_label
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 # =====================================================================
 # Full-text search layer (operators/search.py): inverted-index build +
 # integer-idf keyword top-k. Engine additions for the webtext corpus —
@@ -5931,6 +5991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_revenue": q_top_customers_revenue,
         "array_overlap": q_array_overlap,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     }
 
 
@@ -6100,4 +6161,5 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "min_cost_lineitems": _SQL_MIN_COST,
         "nation_pair_revenue": _SQL_NATION_PAIR,
         "brand_supplier_counts": _SQL_BRAND_SUPPLIERS,
+        "ccnet_ppl_buckets": _SQL_CCNET_BUCKETS,
     }

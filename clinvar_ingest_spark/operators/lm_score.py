@@ -41,9 +41,14 @@ from pyspark.sql import types as T
 from clinvar_ingest_spark.functions.text import ws_tokens
 
 
-def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, prev, tok) — one row per adjacent token pair, in doc order.
-    Codegen only: tokenize once, zip the array with its own tail."""
+def _doc_bigrams(
+    docs: DataFrame, id_col: str, text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *extra, prev, tok) — one row per adjacent token pair, in
+    doc order.  Codegen only: tokenize once, zip the array with its own
+    tail.  ``extra_cols`` ride along unchanged (e.g. the language key
+    for a per-language model)."""
     toks = F.filter(
         ws_tokens(F.lower(F.col(text_col))), lambda x: x != F.lit("")
     )
@@ -56,8 +61,12 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
     return docs.select(
-        F.col(id_col), F.explode(pairs).alias("bg")
-    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"))
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(pairs).alias("bg"),
+    ).select(
+        id_col, *extra_cols,
+        F.col("bg.prev").alias("prev"), F.col("bg.tok").alias("tok"),
+    )
 
 
 def bigram_frequency_score(
@@ -251,4 +260,110 @@ def lm_perplexity(
 
     return docs.select(id_col, text_col).mapInPandas(
         _score, schema=_PPL_SCHEMA
+    )
+
+
+def ccnet_ppl_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    min_count: int = 1,
+    max_broadcast_model: int | None = 2_000_000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., 2020): a
+    per-LANGUAGE bigram count-LM scores every document, documents are
+    ranked WITHIN their language, and each language is cut into
+    ``n_buckets`` equal rank slices — head (most fluent), middle, tail.
+    CCNet keeps head+middle for LM pretraining and drops (or
+    down-weights) the tail; the bucket label here is the policy input,
+    the caller picks the sampling rule.
+
+    Determinism contract: the score is the integer-exact
+    :func:`bigram_frequency_score` mechanism (per-language model keys),
+    and the cut is EXACT integer rank arithmetic —
+    ``bucket = ((rank-1) * n_buckets) div n_lang`` with
+    ``rank = row_number() over (partition by lang order by score desc,
+    id)`` — so the whole output value-hashes against a DuckDB oracle
+    (no approximate percentiles anywhere). Short docs (<2 tokens) score
+    0.0 and sink to the tail by construction.
+
+    Scale notes: the model is floored + measured-broadcast exactly like
+    :func:`bigram_frequency_score`; scoring is one keyed shuffle. The
+    ranking window partitions by language — at 100 TB a single language
+    holds ~10^9 docs, so ONE window partition per language would hot-spot
+    an executor. The scale path swaps the exact window for per-language
+    score-histogram cutoffs (two shuffles, no giant partition) at the
+    cost of approximate boundaries; the exact window is the correctness
+    gate and is what CCNet itself computes on its per-shard scale.
+    Reference analog: processing gated per-release then fanned out
+    per-entity (clinvar_ingest/workflow.py) — here the gate key is the
+    language.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    bg = _doc_bigrams(docs, id_col, text_col, extra_cols=(lang_col,))
+    model = bg.groupBy(lang_col, "prev", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    if min_count > 1:
+        model = model.filter(F.col("c") >= min_count)
+    cached = None
+    if max_broadcast_model is None:
+        model = F.broadcast(model)
+    else:
+        cached = model.persist(StorageLevel.MEMORY_AND_DISK)
+        model = cached
+        if model.count() <= max_broadcast_model:
+            model = F.broadcast(model)
+    scored = (
+        bg.join(model, [lang_col, "prev", "tok"], "left")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.round(F.avg(F.coalesce(F.col("c"), F.lit(1))), 4).alias(
+                "bigram_score"
+            ),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    if cached is not None:
+        # same leak-free contract as bigram_frequency_score: the size
+        # probe's cache is released once the broadcast decision is
+        # captured; scoring recomputes the floored model from lineage.
+        cached.unpersist(blocking=False)
+    shorts = docs.join(
+        scored.select(id_col), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.lit(0.0).alias("bigram_score"),
+        F.lit(0).cast("long").alias("n_bigrams"),
+    )
+    allx = scored.unionByName(shorts)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("bigram_score").desc(), F.col(id_col)
+    )
+    nw = Window.partitionBy(lang_col)
+    ranked = allx.withColumn(
+        "_rank", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(nw))
+    nb = int(n_buckets)
+    bucket = F.expr(f"CAST(((_rank - 1) * {nb}) DIV _n AS INT)")
+    label = (
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            bucket + F.lit(1),
+        )
+        if nb == 3
+        else F.concat(F.lit("b"), bucket.cast("string"))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "bigram_score",
+        "n_bigrams",
+        bucket.alias("ppl_bucket"),
+        label.alias("bucket_label"),
     )

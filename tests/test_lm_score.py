@@ -137,3 +137,46 @@ def test_lm_queries_registered(spark):
     df = e.queries()["bigram_freq_score"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_ccnet_ppl_buckets_exact_cuts(spark):
+    """Per-language rank cut: floor(3*(rank-1)/n) bucket sizes, fluent
+    docs head, shuffled/short docs tail, and partition invariance."""
+    from clinvar_ingest_spark.operators.lm_score import ccnet_ppl_buckets
+
+    coherent = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        # lang 'en': 5 docs -> bucket sizes 2/2/1 (r1,2->0; r3,4->1; r5->2)
+        (1, coherent, "en"),
+        (2, coherent, "en"),
+        (3, coherent, "en"),
+        (4, "dog the over quick lazy jumps brown fox the", "en"),
+        (5, "x", "en"),  # <2 tokens: score 0, sinks to tail
+        # lang 'fr': 3 docs -> one per bucket
+        (6, "le chat noir dort", "fr"),
+        (7, "le chat noir dort", "fr"),
+        (8, "dort noir chat le", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_ppl_buckets(docs).collect()}
+    assert len(out) == 8
+    en = sorted(
+        (r["ppl_bucket"], r["doc_id"]) for r in out.values() if r["lang"] == "en"
+    )
+    # 2/2/1 split; identical scores tie-break by doc_id ascending
+    assert [b for b, _ in en] == [0, 0, 1, 1, 2]
+    assert out[5]["ppl_bucket"] == 2 and out[5]["bucket_label"] == "tail"
+    assert out[4]["ppl_bucket"] >= 1  # shuffled text never head
+    assert out[1]["ppl_bucket"] == 0 and out[1]["bucket_label"] == "head"
+    fr = {r["doc_id"]: r["ppl_bucket"] for r in out.values() if r["lang"] == "fr"}
+    assert sorted(fr.values()) == [0, 1, 2]
+    assert fr[8] == 2  # shuffled doc ranks last in fr
+
+    # partition invariance: same output whatever the input layout
+    again = {
+        r["doc_id"]: (r["ppl_bucket"], r["bigram_score"])
+        for r in ccnet_ppl_buckets(docs.repartition(7)).collect()
+    }
+    assert again == {
+        k: (v["ppl_bucket"], v["bigram_score"]) for k, v in out.items()
+    }
