@@ -3227,7 +3227,7 @@ def _run_cdc(
     spark, sf_dir, n_batches: int, resume_midway: bool = False,
     merge_mode: str = "cow", return_table: bool = False,
     return_pipe: bool = False, derived=None, log_builder=None,
-    dlq: bool = False,
+    dlq: bool = False, row_lineage: bool = False,
 ):
     import tempfile
 
@@ -3250,7 +3250,9 @@ def _run_cdc(
     end = src.max_seq()
     span = end // n_batches + 1
     path = tempfile.mkdtemp(prefix="cdc_gate_")
-    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(
+        schema, row_lineage=row_lineage
+    )
     pipe = IngestPipeline(
         spark, src, tbl, merge_mode=merge_mode, derived=derived, dlq=dlq
     )
@@ -3270,6 +3272,23 @@ def _run_cdc(
     if return_table:
         return tbl
     return pipe.current_state().select("url", "seq", "text").orderBy("url")
+
+
+def q_cdc_row_lineage(spark, sf_dir):
+    """Iceberg-v3-style row lineage through the 3-batch CDC replay:
+    every live row carries the seq of the event that FIRST created it
+    (stable across updates, reset by delete-then-reinsert). The oracle
+    recomputes birth = first live event after the key's last delete —
+    valid for any batching here because the change log's warc_ts is
+    monotone in seq (no stale events), asserted in
+    tests/test_row_lineage.py for the divergent stale cases."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=3, return_table=True,
+                   row_lineage=True)
+    return (
+        tbl.read()
+        .select("url", "seq", "text", F.col("_row_id").alias("row_id"))
+        .orderBy("url")
+    )
 
 
 def q_cdc_wap_state(spark, sf_dir):
@@ -5786,6 +5805,37 @@ WHERE rn = 1 AND op <> 'delete'
 ORDER BY url
 """
 
+_SQL_CDC_LINEAGE = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+),
+lastdel AS (
+  SELECT url, max(seq) AS dseq FROM log WHERE op = 'delete' GROUP BY url
+),
+birth AS (
+  SELECT l.url, min(l.seq) AS row_id
+  FROM log l LEFT JOIN lastdel d USING (url)
+  WHERE l.op <> 'delete' AND (d.dseq IS NULL OR l.seq > d.dseq)
+  GROUP BY l.url
+)
+SELECT w.url, w.seq, w.text, b.row_id
+FROM winners w JOIN birth b USING (url)
+WHERE w.rn = 1 AND w.op <> 'delete'
+ORDER BY w.url
+"""
+
 _SQL_CDC_PURGE = _SQL_CDC_STATE.replace(
     "WHERE rn = 1 AND op <> 'delete'",
     "WHERE rn = 1 AND op <> 'delete'\n  AND url NOT IN ("
@@ -5825,6 +5875,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_curated_corpus": q_cdc_curated_corpus,
         "cdc_incremental_neardup": q_cdc_incremental_neardup,
         "cdc_dml_state": q_cdc_dml_state,
+        # row lineage in-window (round-5 late add): Iceberg-v3 _row_id
+        # through the full CDC replay; ann_ivf_two_level demoted — the
+        # IVF mechanism family keeps two in-window gates
+        # (ann_ivf_kmeans, ann_ivf_pq) and two past-window
+        "cdc_row_lineage": q_cdc_row_lineage,
         "cdc_clone_state": q_cdc_clone_state,
         "cdc_rollback_state": q_cdc_rollback_state,
         "cdc_ivm_domain_stats": q_cdc_ivm_domain_stats,
@@ -5871,7 +5926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their first driver rows in r4 (all green) and rotate
         # past-window for the round-5 search/classifier/mixture gates
         # below, keeping tools/check_oracle.py coverage
-        "ann_ivf_two_level": q_ann_ivf_two_level,
         # -- round-5 fourth wave: full-text search layer, hashed linear
         # classifier inference, temperature-flattened domain mixture
         "keyword_search_topk": q_keyword_search_topk,
@@ -5915,6 +5969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "inverted_index": q_inverted_index,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_two_level": q_ann_ivf_two_level,
         "bpe_token_counts": q_bpe_token_counts,
         "lww_with_tombstones": q_lww_with_tombstones,
         "warc_roundtrip": q_warc_roundtrip,
@@ -6134,6 +6189,7 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "zorder_events": _SQL_ZORDER,
         "hll_distinct_users": _SQL_HLL,
         "cdc_dml_state": _SQL_CDC_DML,
+        "cdc_row_lineage": _SQL_CDC_LINEAGE,
         "cdc_clone_state": _SQL_CDC_CLONE,
         "cdc_rollback_state": _SQL_CDC_STATE,
         "cdc_purge_state": _SQL_CDC_PURGE,

@@ -49,6 +49,12 @@ _DATA = "data"
 _LOCK = "_commit.lock"
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
+# Iceberg-v3-style row lineage: a stable per-row id assigned at the
+# row's FIRST insert (the birth event's sequence number), preserved
+# across updates, and reset only when a delete is followed by a
+# re-insert. Stored as a regular column on tables created with
+# row_lineage=True; tombstones carry NULL.
+ROW_ID_COL = "_row_id"
 
 
 class CheckViolation(ValueError):
@@ -721,7 +727,7 @@ class SnapshotTable:
         )
 
     # --------------------------------------------------- schema evolution
-    _PROTECTED_COLS = (BUCKET_COL, DELETED_COL)
+    _PROTECTED_COLS = (BUCKET_COL, DELETED_COL, ROW_ID_COL)
 
     def rename_column(self, old: str, new: str) -> CommitResult:
         """METADATA-ONLY column rename (full Iceberg-style schema
@@ -1688,10 +1694,29 @@ class SnapshotTable:
             cur.get("properties", {}),
         )
 
-    def create(self, schema: T.StructType, properties: dict[str, Any] | None = None):
+    def create(
+        self,
+        schema: T.StructType,
+        properties: dict[str, Any] | None = None,
+        row_lineage: bool = False,
+    ):
+        """``row_lineage=True`` adds the ``_row_id`` column (Iceberg v3
+        row-lineage analog): every live row carries the sequence number
+        of the event that FIRST created it, stable across updates and
+        reset only by delete-then-reinsert. Assigned by ``merge_upsert``
+        (window strategy, CoW) — batches must never supply it."""
         if self.exists():
             raise ValueError(f"table {self.path} already exists")
+        props = dict(properties or {})
         extra = []
+        if row_lineage:
+            if ROW_ID_COL in schema.names:
+                raise ValueError(
+                    f"{ROW_ID_COL} is assigned by the engine; remove it "
+                    "from the user schema"
+                )
+            extra.append(T.StructField(ROW_ID_COL, T.LongType()))
+            props["row_lineage"] = "true"
         if BUCKET_COL not in schema.names:
             extra.append(T.StructField(BUCKET_COL, T.IntegerType()))
         if DELETED_COL not in schema.names:
@@ -1699,7 +1724,7 @@ class SnapshotTable:
         if extra:
             schema = T.StructType(list(schema.fields) + extra)
         os.makedirs(self.path, exist_ok=True)
-        self._commit({}, schema, properties or {}, parent=-1, stats={"n_rows": 0})
+        self._commit({}, schema, props, parent=-1, stats={"n_rows": 0})
         return self
 
     def _write_buckets(
@@ -1938,6 +1963,91 @@ class SnapshotTable:
         return CommitResult(sid, mp, sorted(buckets), n, 0, n, props)
 
     # ----------------------------------------------------------------- merge
+    def _lineage_cols(self, wide, order_cols, op_col, delete_op):
+        """Row-lineage window aggregates over the merge union (Iceberg
+        v3 ``_row_id`` analog). Runs AFTER the explicit repartition on
+        the key, so every Window below reuses that hash partitioning —
+        Spark collapses the chained unordered aggregates into Window
+        nodes over the existing exchange, no extra shuffle.
+
+        Semantics (sequential-apply equivalence): per key, the APPLIED
+        events are the stored row plus batch events strictly newer than
+        the stored mark (stale events are skipped, exactly what a
+        sequential replay would do). The birth event is the first
+        applied live event after the last applied delete; the winner
+        keeps the stored ``_row_id`` when no applied delete intervened,
+        takes the birth event's sequence otherwise. Batch boundaries
+        are therefore semantically faithful: a late stale insert never
+        rewrites an existing row's id, matching Iceberg's commit-time
+        id assignment."""
+        from pyspark.sql import Window
+
+        kw = Window.partitionBy(self.key_col)
+        mark = F.struct(*[F.col(c) for c in order_cols])
+        is_del = F.col(op_col) == F.lit(delete_op)
+        from_target = F.col("_li_src") == F.lit("t")
+        wide = wide.withColumn("_li_mark", mark)
+        wide = wide.withColumn(
+            "_li_stored_mark",
+            F.max(F.when(from_target, F.col("_li_mark"))).over(kw),
+        )
+        wide = wide.withColumn(
+            "_li_applied",
+            from_target
+            | F.col("_li_stored_mark").isNull()
+            | (F.col("_li_mark") > F.col("_li_stored_mark")),
+        )
+        wide = wide.withColumn(
+            "_li_last_del",
+            F.max(
+                F.when(F.col("_li_applied") & is_del, F.col("_li_mark"))
+            ).over(kw),
+        )
+        wide = wide.withColumn(
+            "_li_birth",
+            F.min(
+                F.when(
+                    F.col("_li_applied")
+                    & ~is_del
+                    & (
+                        F.col("_li_last_del").isNull()
+                        | (F.col("_li_mark") > F.col("_li_last_del"))
+                    ),
+                    F.col("_li_mark"),
+                )
+            ).over(kw),
+        )
+        return wide.withColumn(
+            "_li_stored_id",
+            F.max(F.when(from_target, F.col(ROW_ID_COL))).over(kw),
+        )
+
+    _LI_HELPER_COLS = (
+        "_li_src", "_li_mark", "_li_stored_mark", "_li_applied",
+        "_li_last_del", "_li_birth", "_li_stored_id",
+    )
+
+    def _assign_row_ids(self, merged, order_cols, op_col, delete_op):
+        """Stamp the LWW winner's ``_row_id`` from the lineage
+        aggregates: tombstones carry NULL; a surviving stored row with
+        no applied delete keeps its id; everything else is (re)born at
+        the first applied live event after the last applied delete —
+        its id is that event's final order column (the change-log
+        sequence, unique by contract)."""
+        seq_col = order_cols[-1]
+        return merged.withColumn(
+            ROW_ID_COL,
+            F.when(
+                F.col(op_col) == F.lit(delete_op), F.lit(None).cast("long")
+            )
+            .when(
+                F.col("_li_last_del").isNull()
+                & F.col("_li_stored_id").isNotNull(),
+                F.col("_li_stored_id"),
+            )
+            .otherwise(F.col("_li_birth").getField(seq_col).cast("long")),
+        ).drop(*self._LI_HELPER_COLS)
+
     def merge_upsert(
         self,
         batch: DataFrame,
@@ -1994,6 +2104,24 @@ class SnapshotTable:
         m = self.current_manifest()
         if m is None:
             raise ValueError(f"table {self.path} does not exist; create() it first")
+
+        lineage = m.get("properties", {}).get("row_lineage") == "true"
+        if lineage:
+            if merge_mode == "mor":
+                raise ValueError(
+                    "row_lineage requires CoW merges: MoR appends batch "
+                    "winners without reading the stored row, so the "
+                    "stored _row_id is unknowable at write time"
+                )
+            if dedup_strategy != "window":
+                raise ValueError(
+                    "row_lineage requires dedup_strategy='window' (the "
+                    "lineage aggregates reuse its key partitioning)"
+                )
+            if ROW_ID_COL in batch.columns:
+                raise ValueError(
+                    f"{ROW_ID_COL} is engine-assigned; drop it from the batch"
+                )
 
         batch = batch.withColumn(
             BUCKET_COL, bucket_expr(self.key_col, self.n_buckets)
@@ -2134,7 +2262,13 @@ class SnapshotTable:
             ).otherwise(F.lit("existing")),
         ).select(*data_cols, op_col)
 
-        everything = pruned_target.unionByName(batch.select(*data_cols, op_col))
+        bat_side = batch.select(*data_cols, op_col)
+        if lineage:
+            # source marker: the lineage aggregates must tell the stored
+            # row (and its mark/_row_id) apart from batch events
+            pruned_target = pruned_target.withColumn("_li_src", F.lit("t"))
+            bat_side = bat_side.withColumn("_li_src", F.lit("b"))
+        everything = pruned_target.unionByName(bat_side)
 
         if dedup_strategy == "bucket_local":
             # SINGLE-SHUFFLE merge: bucket = f(key), so hash-partitioning
@@ -2197,12 +2331,16 @@ class SnapshotTable:
         if dedup_strategy == "window":
             par = self.spark.sparkContext.defaultParallelism * 2
             wide = everything.repartition(par, F.col(self.key_col))
+            if lineage:
+                wide = self._lineage_cols(wide, list(order_cols), op_col, delete_op)
             merged = lww_dedup(
                 wide,
                 key_cols=(self.key_col,),
                 order_cols=list(order_cols),
                 strategy="window",
             )
+            if lineage:
+                merged = self._assign_row_ids(merged, list(order_cols), op_col, delete_op)
         else:
             par = self.spark.sparkContext.defaultParallelism * 2
             merged = lww_dedup(

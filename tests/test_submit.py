@@ -90,10 +90,10 @@ def test_driver_window_membership_is_pinned():
         "exact_dedup_docs", "minhash_lsh_dedup", "near_dup_clusters",
         "simhash_near_dup", "bpe_merges", "ann_ivf_kmeans",
         "corpus_curation_funnel",
-        # round-4 rotation survivor (warc_roundtrip / pack_sequences /
-        # eval_decontamination / canonical_urls earned their r4 rows and
-        # rotated past-window for the round-5 fourth wave)
-        "ann_ivf_two_level",
+        # round-5 late add: Iceberg-v3 row lineage through the CDC
+        # replay (ann_ivf_two_level demoted after its r4 driver row —
+        # the IVF family keeps ann_ivf_kmeans + ann_ivf_pq in-window)
+        "cdc_row_lineage",
         # round-5 rotation (first-ever driver rows): schema evolution,
         # PQ/IVF-PQ ANN, z-order, HLL, bigram LM, real PNG decode
         "cdc_rename_state", "bigram_freq_score", "ann_pq_topk",
