@@ -49,6 +49,30 @@ _DATA = "data"
 _LOCK = "_commit.lock"
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
+# Iceberg-style type promotion (widen_column): the only allowed
+# metadata-only type changes — strictly lossless widenings, so files
+# written before the widen are read under their narrow stored type and
+# cast in the plan (zero rewrites, exact values).
+_WIDEN_OK = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+_TYPE_BY_NAME = {
+    "byte": T.ByteType(),
+    "short": T.ShortType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    # DDL-style aliases accepted on input (never stored in the log)
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+}
+
 # Iceberg-v3-style row lineage: a stable per-row id assigned at the
 # row's FIRST insert (the birth event's sequence number), preserved
 # across updates, and reset only when a delete is followed by a
@@ -300,30 +324,36 @@ class SnapshotTable:
         schema = T.StructType.fromJson(m["schema"])
         files = self._files(m, buckets)
         renames = m.get("renames", [])
+        widens = m.get("widens", [])
         if not files:
             df = self.spark.createDataFrame([], schema)
-        elif not renames:
+        elif not renames and not widens:
             df = self.spark.read.schema(schema).parquet(*files)
         else:
-            # metadata-only renames: each file is read under the column
-            # names current AT ITS WRITE SNAPSHOT (parsed from the
-            # path's sNNNNNNNN hint) and renamed in the plan — grouped
-            # so the whole read stays O(#rename-epochs) scans, not
-            # O(#files)
-            groups: dict[tuple, tuple[T.StructType, list[str]]] = {}
+            # metadata-only renames/widenings: each file is read under
+            # the column names AND types current AT ITS WRITE SNAPSHOT
+            # (parsed from the path's sNNNNNNNN hint), then renamed and
+            # cast in the plan — grouped so the whole read stays
+            # O(#evolution-epochs) scans, not O(#files)
+            groups: dict[tuple, tuple[T.StructType, list, list, list[str]]] = {}
             for f in files:
-                ssch, pairs = self._schema_at_write(
-                    schema, renames, self._file_write_sid(f)
+                ssch, pairs, casts = self._schema_at_write(
+                    schema, renames, self._file_write_sid(f), widens
                 )
-                key = tuple(pairs)
+                key = (
+                    tuple(pairs),
+                    tuple((c, t.typeName()) for c, t in casts),
+                )
                 if key not in groups:
-                    groups[key] = (ssch, [])
-                groups[key][1].append(f)
+                    groups[key] = (ssch, pairs, casts, [])
+                groups[key][3].append(f)
             parts = []
-            for pairs, (ssch, fs) in groups.items():
+            for ssch, pairs, casts, fs in groups.values():
                 d = self.spark.read.schema(ssch).parquet(*fs)
                 for stored, cur in pairs:
                     d = d.withColumnRenamed(stored, cur)
+                for cur, typ in casts:
+                    d = d.withColumn(cur, F.col(cur).cast(typ))
                 parts.append(d.select(*schema.names))
             df = parts[0]
             for d in parts[1:]:
@@ -528,9 +558,20 @@ class SnapshotTable:
         # column, not as one dropped + one added; a rename-only commit
         # touches no bucket files, so it correctly reports zero row
         # changes
-        for r in mb.get("renames", []):
-            if from_id < int(r["sid"]) <= to_id and r["from"] in a.columns:
-                a = a.withColumnRenamed(r["from"], r["to"])
+        evs = sorted(
+            [dict(ev, _kind="r") for ev in mb.get("renames", [])]
+            + [dict(ev, _kind="w") for ev in mb.get("widens", [])],
+            key=lambda e: int(e["sid"]),
+        )
+        for ev in evs:
+            if not (from_id < int(ev["sid"]) <= to_id):
+                continue
+            if ev["_kind"] == "r" and ev["from"] in a.columns:
+                a = a.withColumnRenamed(ev["from"], ev["to"])
+            elif ev["_kind"] == "w" and ev["col"] in a.columns:
+                a = a.withColumn(
+                    ev["col"], F.col(ev["col"]).cast(_TYPE_BY_NAME[ev["to"]])
+                )
         # align schemas (additive evolution: fill the missing side with NULL)
         for f in b.schema.fields:
             if f.name not in a.columns:
@@ -681,6 +722,7 @@ class SnapshotTable:
                 schema_evolution={
                     "renames": list(t.get("renames", [])),
                     "dropped": list(t.get("dropped", [])),
+                    "widens": list(t.get("widens", [])),
                 },
             )
         except BaseException:
@@ -817,6 +859,65 @@ class SnapshotTable:
                             int(m.get("stats", {}).get("n_rows", -1)),
                             m.get("properties", {}))
 
+    def widen_column(self, name: str, new_type) -> CommitResult:
+        """METADATA-ONLY type widening (Iceberg type-promotion analog):
+        int→bigint, float→double, smallint/tinyint→wider ints. No data
+        file is rewritten — files keep their narrow stored type and the
+        manifest records ``widens: [{sid, col, from, to}]``; ``read``
+        resolves each file's write-time type from its snapshot hint and
+        CASTs in the plan (lossless by construction, so values are
+        exact). Batches may keep sending the narrow type — the merge's
+        union coerces them to the current type.
+
+        The bucketing key cannot be widened: ``bucket_expr`` hashes the
+        key's PHYSICAL type, so int→long would re-home every key."""
+        if isinstance(new_type, str):
+            if new_type not in _TYPE_BY_NAME:
+                raise ValueError(f"unknown type {new_type!r}")
+            new_type = _TYPE_BY_NAME[new_type]
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        schema = T.StructType.fromJson(m["schema"])
+        if name == self.key_col or name in self._PROTECTED_COLS:
+            raise ValueError(f"cannot widen {name!r}")
+        if name not in schema.names:
+            raise ValueError(f"no column {name!r}")
+        old_t = schema[name].dataType
+        if new_type.typeName() not in _WIDEN_OK.get(old_t.typeName(), ()):
+            raise ValueError(
+                f"cannot widen {old_t.typeName()} -> {new_type.typeName()}"
+                f"; allowed promotions: {_WIDEN_OK}"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(name, new_type, f.nullable)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        )
+        log = list(m.get("widens", []))
+        log.append(
+            {
+                "sid": m["snapshot_id"] + 1,
+                "col": name,
+                "from": old_t.typeName(),
+                "to": new_type.typeName(),
+            }
+        )
+        sid, mp = self._commit(
+            {int(b): list(f) for b, f in m["buckets"].items()},
+            new_schema, dict(m.get("properties", {})), m["snapshot_id"],
+            dict(m.get("stats", {})),
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"), parent_name=m["_name"],
+            schema_evolution={"widens": log},
+        )
+        return CommitResult(sid, mp, [], 0, 0,
+                            int(m.get("stats", {}).get("n_rows", -1)),
+                            m.get("properties", {}))
+
     @staticmethod
     def _file_write_sid(path: str) -> int:
         # Anchor to the segment directly under the table's data dir —
@@ -832,25 +933,52 @@ class SnapshotTable:
         return int(hits[-1]) if hits else 0
 
     def _schema_at_write(
-        self, schema: T.StructType, renames: list[dict], write_sid: int
-    ) -> tuple[T.StructType, list[tuple[str, str]]]:
-        """Undo renames newer than ``write_sid``: returns the schema
-        under which a file of that snapshot was written, plus the
-        (stored, current) pairs to rename after reading."""
-        names = {f.name: f.name for f in schema.fields}  # current -> stored
-        for r in reversed(renames):
-            if int(r["sid"]) > write_sid:
-                for cur, stored in names.items():
-                    if stored == r["to"]:
-                        names[cur] = r["from"]
-        pairs = [(stored, cur) for cur, stored in names.items() if stored != cur]
+        self,
+        schema: T.StructType,
+        renames: list[dict],
+        write_sid: int,
+        widens: list[dict] | None = None,
+    ) -> tuple[T.StructType, list[tuple[str, str]], list[tuple[str, Any]]]:
+        """Undo renames AND type widenings newer than ``write_sid`` in
+        one reverse walk over the interleaved evolution log: returns the
+        schema under which a file of that snapshot was written, the
+        (stored, current) name pairs to rename after reading, and the
+        (current, target_type) casts to apply after renaming. The walk
+        is reverse-sid so a widen's column name (recorded at widen time)
+        matches the tracked stored name exactly when the event is
+        reached — renames after the widen have already been undone."""
+        state = {f.name: [f.name, f.dataType] for f in schema.fields}
+        events = sorted(
+            [dict(ev, _kind="r") for ev in renames]
+            + [dict(ev, _kind="w") for ev in (widens or [])],
+            key=lambda e: int(e["sid"]),
+        )
+        for ev in reversed(events):
+            if int(ev["sid"]) <= write_sid:
+                continue
+            if ev["_kind"] == "r":
+                for sv in state.values():
+                    if sv[0] == ev["to"]:
+                        sv[0] = ev["from"]
+            else:
+                for sv in state.values():
+                    if sv[0] == ev["col"]:
+                        sv[1] = _TYPE_BY_NAME[ev["from"]]
+        pairs = [
+            (sv[0], cur) for cur, sv in state.items() if sv[0] != cur
+        ]
+        casts = [
+            (f.name, f.dataType)
+            for f in schema.fields
+            if state[f.name][1].typeName() != f.dataType.typeName()
+        ]
         stored_schema = T.StructType(
             [
-                T.StructField(names[f.name], f.dataType, f.nullable)
+                T.StructField(state[f.name][0], state[f.name][1], f.nullable)
                 for f in schema.fields
             ]
         )
-        return stored_schema, pairs
+        return stored_schema, pairs, casts
 
     # ------------------------------------------------------------------ refs
     def _refs_path(self) -> str:
@@ -1172,7 +1300,7 @@ class SnapshotTable:
         if parent_name is not None:
             try:
                 pm = self._load_manifest(parent_name)
-                for k in ("renames", "dropped"):
+                for k in ("renames", "dropped", "widens"):
                     if pm.get(k):
                         evo[k] = pm[k]
             except OSError:
@@ -1575,7 +1703,7 @@ class SnapshotTable:
             }
             if m.get("order_cols"):
                 manifest["order_cols"] = list(m["order_cols"])
-            for k in ("renames", "dropped"):
+            for k in ("renames", "dropped", "widens"):
                 if m.get(k):
                     manifest[k] = m[k]
             os.makedirs(os.path.join(dst_path, _MANIFESTS), exist_ok=True)

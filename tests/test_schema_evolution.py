@@ -198,3 +198,114 @@ def test_file_write_sid_is_anchored_to_data_dir(spark, tmp_path):
     t.merge_upsert(_batch(spark, 100, 5, 2, text_col="body"))
     rows = {r["seq"]: r["body"] for r in t.read().collect()}
     assert rows[5] == "text 5" and rows[104] == "body 104"
+
+
+# ---------------------------------------------------------------- widening
+
+WSCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("n", T.IntegerType()),
+    T.StructField("score", T.FloatType()),
+])
+
+
+def _wbatch(spark, lo, cnt, day, n_type="int", f_type="float"):
+    return spark.createDataFrame(
+        [(f"https://s/{lo+i}", dt.datetime(2024, 1, day), lo + i,
+          lo + i, float(lo + i) / 2, "update") for i in range(cnt)],
+        f"url string, warc_ts timestamp, seq long, n {n_type}, "
+        f"score {f_type}, op string",
+    )
+
+
+def test_widen_is_metadata_only_and_reads_cast(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(WSCHEMA)
+    t.merge_upsert(_wbatch(spark, 0, 20, 1))
+    files_before = sorted(
+        f for fs in t.current_manifest()["buckets"].values() for f in fs
+    )
+    sid_pre = t.snapshot_id()
+
+    t.widen_column("n", "long")
+    t.widen_column("score", T.DoubleType())
+    files_after = sorted(
+        f for fs in t.current_manifest()["buckets"].values() for f in fs
+    )
+    assert files_after == files_before  # zero files rewritten
+
+    df = t.read()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert dict(df.dtypes)["score"] == "double"
+    rows = {r["seq"]: (r["n"], r["score"]) for r in df.collect()}
+    assert rows[7] == (7, 3.5) and len(rows) == 20
+
+    # post-widen batch already wide; BOTH epochs resolve in one read
+    t.merge_upsert(_wbatch(spark, 100, 10, 2, n_type="long", f_type="double"))
+    rows = {r["seq"]: r["n"] for r in t.read().collect()}
+    assert rows[5] == 5 and rows[105] == 105 and len(rows) == 30
+
+    # a producer still sending the NARROW type keeps working (union
+    # coercion inside the merge)
+    t.merge_upsert(_wbatch(spark, 200, 5, 3))
+    df = t.read()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert df.count() == 35
+
+    # time travel before the widen serves the narrow type
+    assert dict(t.read_at(sid_pre).dtypes)["n"] == "int"
+
+
+def test_widen_chained_with_rename_and_compaction(spark, tmp_path):
+    """rename(n->count) THEN widen(count) and widen-then-rename both
+    resolve: the reverse walk matches the widen's recorded name at its
+    sid. Compaction folds everything to the newest schema."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(WSCHEMA)
+    t.merge_upsert(_wbatch(spark, 0, 10, 1))
+    t.rename_column("n", "count")
+    t.widen_column("count", "long")
+    t.merge_upsert(_wbatch(spark, 100, 5, 2).withColumnRenamed("n", "count"))
+    rows = {r["seq"]: r["count"] for r in t.read().collect()}
+    assert rows[3] == 3 and rows[102] == 102 and len(rows) == 15
+    assert dict(t.read().dtypes)["count"] == "bigint"
+
+    # widen then rename on the OTHER column
+    t.widen_column("score", "double")
+    t.rename_column("score", "quality")
+    rows = {r["seq"]: r["quality"] for r in t.read().collect()}
+    assert rows[3] == 1.5 and len(rows) == 15
+
+    t.compact()
+    df = t.read()
+    assert dict(df.dtypes)["count"] == "bigint"
+    assert dict(df.dtypes)["quality"] == "double"
+    assert df.count() == 15
+
+
+def test_widen_guards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(WSCHEMA)
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("url", "long")          # key col
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("n", "int")             # not a promotion
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("seq", "double")        # long->double is lossy
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column("nope", "long")
+    with pytest.raises(ValueError, match="unknown type"):
+        t.widen_column("n", "decimal(10,2)")
+
+
+def test_changes_between_across_widen(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(WSCHEMA)
+    t.merge_upsert(_wbatch(spark, 0, 10, 1))
+    s1 = t.snapshot_id()
+    t.widen_column("n", "long")
+    s2 = t.snapshot_id()
+    # widen-only commit: zero row changes
+    assert t.changes_between(s1, s2).count() == 0
+    # a real update across the widen boundary still diffs as an update
+    t.merge_upsert(_wbatch(spark, 0, 1, 5, n_type="long", f_type="float"))
+    ch = t.changes_between(s1, t.snapshot_id()).collect()
+    assert len(ch) == 1 and ch[0]["change_op"] == "update"

@@ -86,14 +86,15 @@ def test_driver_window_membership_is_pinned():
         "cdc_curated_corpus", "cdc_incremental_neardup", "cdc_dml_state",
         "snapshot_changes", "tree_disassemble", "event_time_windows",
         "stream_change_feed",
-        # flagship LLM ops
-        "exact_dedup_docs", "minhash_lsh_dedup", "near_dup_clusters",
+        # flagship LLM ops (exact_dedup_docs demoted after four green
+        # driver rows; hash-groupBy mechanism covered by chunk_dedup)
+        "minhash_lsh_dedup", "near_dup_clusters",
         "simhash_near_dup", "bpe_merges", "ann_ivf_kmeans",
         "corpus_curation_funnel",
         # round-5 late add: Iceberg-v3 row lineage through the CDC
         # replay (ann_ivf_two_level demoted after its r4 driver row —
         # the IVF family keeps ann_ivf_kmeans + ann_ivf_pq in-window)
-        "cdc_row_lineage",
+        "cdc_row_lineage", "cdc_widen_state",
         # round-5 rotation (first-ever driver rows): schema evolution,
         # PQ/IVF-PQ ANN, z-order, HLL, bigram LM, real PNG decode
         "cdc_rename_state", "bigram_freq_score", "ann_pq_topk",
