@@ -4053,6 +4053,57 @@ def q_cdc_widen_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "n_views").orderBy("url")
 
 
+def q_cdc_default_state(spark, sf_dir):
+    """Defaulted column add mid-stream (Iceberg v3 initial-default):
+    replay half the log, ADD priority int DEFAULT 5 (zero files
+    rewritten — pre-add rows serve the default from metadata), replay
+    the rest with real values; the final state mixes both epochs."""
+    import tempfile
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = _events_as_change_log(spark, sf_dir).drop("part")
+    path = tempfile.mkdtemp(prefix="cdc_default_")
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
+    tbl.merge_upsert(base.filter(F.col("seq") % 2 == 0))
+    tbl.add_column("priority", "int", default=5)
+    tbl.merge_upsert(
+        base.filter(F.col("seq") % 2 == 1)
+        .withColumn("priority", (F.col("seq") % 11).cast("int"))
+    )
+    return tbl.read().select("url", "seq", "priority").orderBy("url")
+
+
+_SQL_CDC_DEFAULT = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         CASE WHEN event_id % 2 = 0 THEN 5
+              ELSE CAST(event_id % 11 AS INTEGER) END AS priority
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, priority,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+)
+SELECT url, seq, CAST(priority AS INTEGER) AS priority FROM winners
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY url
+"""
+
+
 _SQL_CDC_WIDEN = """
 WITH log AS (
   SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
@@ -6108,6 +6159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_overlap": q_array_overlap,
         "lm_perplexity": q_lm_perplexity,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "cdc_default_state": q_cdc_default_state,
     }
 
 
@@ -6280,4 +6332,5 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "nation_pair_revenue": _SQL_NATION_PAIR,
         "brand_supplier_counts": _SQL_BRAND_SUPPLIERS,
         "ccnet_ppl_buckets": _SQL_CCNET_BUCKETS,
+        "cdc_default_state": _SQL_CDC_DEFAULT,
     }

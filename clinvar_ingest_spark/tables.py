@@ -325,35 +325,40 @@ class SnapshotTable:
         files = self._files(m, buckets)
         renames = m.get("renames", [])
         widens = m.get("widens", [])
+        adds = m.get("adds", [])
         if not files:
             df = self.spark.createDataFrame([], schema)
-        elif not renames and not widens:
+        elif not renames and not widens and not adds:
             df = self.spark.read.schema(schema).parquet(*files)
         else:
-            # metadata-only renames/widenings: each file is read under
-            # the column names AND types current AT ITS WRITE SNAPSHOT
-            # (parsed from the path's sNNNNNNNN hint), then renamed and
-            # cast in the plan — grouped so the whole read stays
-            # O(#evolution-epochs) scans, not O(#files)
-            groups: dict[tuple, tuple[T.StructType, list, list, list[str]]] = {}
+            # metadata-only renames/widenings/defaulted adds: each file
+            # is read under the column names AND types current AT ITS
+            # WRITE SNAPSHOT (parsed from the path's sNNNNNNNN hint),
+            # then renamed, cast, and default-filled in the plan —
+            # grouped so the whole read stays O(#evolution-epochs)
+            # scans, not O(#files)
+            groups: dict[tuple, list] = {}
             for f in files:
-                ssch, pairs, casts = self._schema_at_write(
-                    schema, renames, self._file_write_sid(f), widens
+                ssch, pairs, casts, fills = self._schema_at_write(
+                    schema, renames, self._file_write_sid(f), widens, adds
                 )
                 key = (
                     tuple(pairs),
                     tuple((c, t.typeName()) for c, t in casts),
+                    tuple((c, d) for c, d, _ in fills),
                 )
                 if key not in groups:
-                    groups[key] = (ssch, pairs, casts, [])
-                groups[key][3].append(f)
+                    groups[key] = [ssch, pairs, casts, fills, []]
+                groups[key][4].append(f)
             parts = []
-            for ssch, pairs, casts, fs in groups.values():
+            for ssch, pairs, casts, fills, fs in groups.values():
                 d = self.spark.read.schema(ssch).parquet(*fs)
                 for stored, cur in pairs:
                     d = d.withColumnRenamed(stored, cur)
                 for cur, typ in casts:
                     d = d.withColumn(cur, F.col(cur).cast(typ))
+                for cur, dflt, typ in fills:
+                    d = d.withColumn(cur, F.lit(dflt).cast(typ))
                 parts.append(d.select(*schema.names))
             df = parts[0]
             for d in parts[1:]:
@@ -560,7 +565,8 @@ class SnapshotTable:
         # changes
         evs = sorted(
             [dict(ev, _kind="r") for ev in mb.get("renames", [])]
-            + [dict(ev, _kind="w") for ev in mb.get("widens", [])],
+            + [dict(ev, _kind="w") for ev in mb.get("widens", [])]
+            + [dict(ev, _kind="a") for ev in mb.get("adds", [])],
             key=lambda e: int(e["sid"]),
         )
         for ev in evs:
@@ -571,6 +577,16 @@ class SnapshotTable:
             elif ev["_kind"] == "w" and ev["col"] in a.columns:
                 a = a.withColumn(
                     ev["col"], F.col(ev["col"]).cast(_TYPE_BY_NAME[ev["to"]])
+                )
+            elif ev["_kind"] == "a" and ev["col"] not in a.columns:
+                # defaulted add between the snapshots: the older side
+                # reads as the initial default, so an add-only commit
+                # (and rows untouched since) diffs as zero changes
+                a = a.withColumn(
+                    ev["col"],
+                    F.lit(ev.get("default")).cast(
+                        T._parse_datatype_string(ev["type"])
+                    ),
                 )
         # align schemas (additive evolution: fill the missing side with NULL)
         for f in b.schema.fields:
@@ -723,6 +739,7 @@ class SnapshotTable:
                     "renames": list(t.get("renames", [])),
                     "dropped": list(t.get("dropped", [])),
                     "widens": list(t.get("widens", [])),
+                    "adds": list(t.get("adds", [])),
                 },
             )
         except BaseException:
@@ -859,6 +876,68 @@ class SnapshotTable:
                             int(m.get("stats", {}).get("n_rows", -1)),
                             m.get("properties", {}))
 
+    def add_column(
+        self, name: str, dtype, default=None
+    ) -> CommitResult:
+        """METADATA-ONLY column add with an INITIAL DEFAULT (Iceberg v3
+        default-value semantics): rows written BEFORE the add read as
+        ``default`` (filled in the plan — no file rewritten), rows
+        written after store real values (a batch that omits the column
+        still writes NULL, the additive-evolution contract). The add is
+        recorded as ``adds: [{sid, col, default, type}]`` and resolved
+        per file from its write-snapshot hint, composing with renames
+        and widenings in the same reverse walk."""
+        if isinstance(dtype, str):
+            dtype = (
+                _TYPE_BY_NAME[dtype]
+                if dtype in _TYPE_BY_NAME
+                else T._parse_datatype_string(dtype)
+            )
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        schema = T.StructType.fromJson(m["schema"])
+        if name in schema.names:
+            raise ValueError(f"column {name!r} already exists")
+        if name in set(m.get("dropped", [])):
+            raise ValueError(
+                f"column name {name!r} was dropped from this table; "
+                "re-adding it would resurrect stale bytes from "
+                "pre-drop files — use a new column name"
+            )
+        if name in {r["from"] for r in m.get("renames", [])}:
+            raise ValueError(
+                f"column name {name!r} is a historical rename source "
+                "on this table — use a new column name"
+            )
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError("default must be a plain scalar (or None)")
+        new_schema = T.StructType(
+            list(schema.fields) + [T.StructField(name, dtype, True)]
+        )
+        log = list(m.get("adds", []))
+        log.append(
+            {
+                "sid": m["snapshot_id"] + 1,
+                "col": name,
+                "default": default,
+                "type": dtype.simpleString(),
+            }
+        )
+        sid, mp = self._commit(
+            {int(b): list(f) for b, f in m["buckets"].items()},
+            new_schema, dict(m.get("properties", {})), m["snapshot_id"],
+            dict(m.get("stats", {})),
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"), parent_name=m["_name"],
+            schema_evolution={"adds": log},
+        )
+        return CommitResult(sid, mp, [], 0, 0,
+                            int(m.get("stats", {}).get("n_rows", -1)),
+                            m.get("properties", {}))
+
     def widen_column(self, name: str, new_type) -> CommitResult:
         """METADATA-ONLY type widening (Iceberg type-promotion analog):
         int→bigint, float→double, smallint/tinyint→wider ints. No data
@@ -938,19 +1017,29 @@ class SnapshotTable:
         renames: list[dict],
         write_sid: int,
         widens: list[dict] | None = None,
-    ) -> tuple[T.StructType, list[tuple[str, str]], list[tuple[str, Any]]]:
-        """Undo renames AND type widenings newer than ``write_sid`` in
-        one reverse walk over the interleaved evolution log: returns the
-        schema under which a file of that snapshot was written, the
-        (stored, current) name pairs to rename after reading, and the
-        (current, target_type) casts to apply after renaming. The walk
-        is reverse-sid so a widen's column name (recorded at widen time)
+        adds: list[dict] | None = None,
+    ) -> tuple[
+        T.StructType,
+        list[tuple[str, str]],
+        list[tuple[str, Any]],
+        list[tuple[str, Any, Any]],
+    ]:
+        """Undo renames, type widenings, AND defaulted column adds newer
+        than ``write_sid`` in one reverse walk over the interleaved
+        evolution log: returns the schema under which a file of that
+        snapshot was written, the (stored, current) name pairs to rename
+        after reading, the (current, target_type) casts to apply after
+        renaming, and the (current, default, target_type) fills for
+        columns that did not exist yet at write time. The walk is
+        reverse-sid so an event's column name (recorded at its own sid)
         matches the tracked stored name exactly when the event is
-        reached — renames after the widen have already been undone."""
-        state = {f.name: [f.name, f.dataType] for f in schema.fields}
+        reached — renames after it have already been undone."""
+        # current name -> [stored_name, stored_type, absent, default]
+        state = {f.name: [f.name, f.dataType, False, None] for f in schema.fields}
         events = sorted(
             [dict(ev, _kind="r") for ev in renames]
-            + [dict(ev, _kind="w") for ev in (widens or [])],
+            + [dict(ev, _kind="w") for ev in (widens or [])]
+            + [dict(ev, _kind="a") for ev in (adds or [])],
             key=lambda e: int(e["sid"]),
         )
         for ev in reversed(events):
@@ -960,25 +1049,39 @@ class SnapshotTable:
                 for sv in state.values():
                     if sv[0] == ev["to"]:
                         sv[0] = ev["from"]
-            else:
+            elif ev["_kind"] == "w":
                 for sv in state.values():
                     if sv[0] == ev["col"]:
                         sv[1] = _TYPE_BY_NAME[ev["from"]]
+            else:
+                for sv in state.values():
+                    if sv[0] == ev["col"]:
+                        sv[2] = True
+                        sv[3] = ev.get("default")
         pairs = [
-            (sv[0], cur) for cur, sv in state.items() if sv[0] != cur
+            (sv[0], cur)
+            for cur, sv in state.items()
+            if sv[0] != cur and not sv[2]
         ]
         casts = [
             (f.name, f.dataType)
             for f in schema.fields
-            if state[f.name][1].typeName() != f.dataType.typeName()
+            if not state[f.name][2]
+            and state[f.name][1].typeName() != f.dataType.typeName()
+        ]
+        fills = [
+            (f.name, state[f.name][3], f.dataType)
+            for f in schema.fields
+            if state[f.name][2]
         ]
         stored_schema = T.StructType(
             [
                 T.StructField(state[f.name][0], state[f.name][1], f.nullable)
                 for f in schema.fields
+                if not state[f.name][2]
             ]
         )
-        return stored_schema, pairs, casts
+        return stored_schema, pairs, casts, fills
 
     # ------------------------------------------------------------------ refs
     def _refs_path(self) -> str:
@@ -1300,7 +1403,7 @@ class SnapshotTable:
         if parent_name is not None:
             try:
                 pm = self._load_manifest(parent_name)
-                for k in ("renames", "dropped", "widens"):
+                for k in ("renames", "dropped", "widens", "adds"):
                     if pm.get(k):
                         evo[k] = pm[k]
             except OSError:
@@ -1703,7 +1806,7 @@ class SnapshotTable:
             }
             if m.get("order_cols"):
                 manifest["order_cols"] = list(m["order_cols"])
-            for k in ("renames", "dropped", "widens"):
+            for k in ("renames", "dropped", "widens", "adds"):
                 if m.get(k):
                     manifest[k] = m[k]
             os.makedirs(os.path.join(dst_path, _MANIFESTS), exist_ok=True)

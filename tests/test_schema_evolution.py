@@ -4,6 +4,7 @@ beyond the additive evolution the merge already does)."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from clinvar_ingest_spark.tables import SnapshotTable
@@ -309,3 +310,83 @@ def test_changes_between_across_widen(spark, tmp_path):
     t.merge_upsert(_wbatch(spark, 0, 1, 5, n_type="long", f_type="float"))
     ch = t.changes_between(s1, t.snapshot_id()).collect()
     assert len(ch) == 1 and ch[0]["change_op"] == "update"
+
+
+# ------------------------------------------------------- defaulted adds
+
+def test_add_column_with_default_is_metadata_only(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(WSCHEMA)
+    t.merge_upsert(_wbatch(spark, 0, 10, 1))
+    files_before = sorted(
+        f for fs in t.current_manifest()["buckets"].values() for f in fs
+    )
+    sid_pre = t.snapshot_id()
+
+    t.add_column("rank", "int", default=7)
+    assert sorted(
+        f for fs in t.current_manifest()["buckets"].values() for f in fs
+    ) == files_before  # zero rewrites
+
+    # pre-add rows read the INITIAL DEFAULT (filled in the plan)
+    rows = {r["seq"]: r["rank"] for r in t.read().collect()}
+    assert set(rows.values()) == {7} and len(rows) == 10
+
+    # post-add writes store real values; both epochs resolve together
+    t.merge_upsert(
+        _wbatch(spark, 100, 5, 2).withColumn(
+            "rank", (F.col("seq") % 3).cast("int")
+        )
+    )
+    rows = {r["seq"]: r["rank"] for r in t.read().collect()}
+    assert rows[3] == 7 and rows[102] == 102 % 3 and len(rows) == 15
+
+    # a post-add batch OMITTING the column writes NULL (additive
+    # contract), not the default — initial-default only back-fills
+    t.merge_upsert(_wbatch(spark, 200, 3, 3))
+    rows = {r["seq"]: r["rank"] for r in t.read().collect()}
+    assert rows[201] is None and rows[3] == 7
+
+    # time travel before the add has no such column
+    assert "rank" not in t.read_at(sid_pre).columns
+
+
+def test_add_column_composes_with_rename_and_widen(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(WSCHEMA)
+    t.merge_upsert(_wbatch(spark, 0, 6, 1))
+    t.add_column("rank", "int", default=2)
+    t.rename_column("rank", "grade")
+    t.widen_column("grade", "long")
+    t.merge_upsert(
+        _wbatch(spark, 100, 4, 2).withColumn(
+            "grade", F.col("seq") + F.lit(5_000_000_000)
+        )
+    )
+    df = t.read()
+    assert dict(df.dtypes)["grade"] == "bigint"
+    rows = {r["seq"]: r["grade"] for r in df.collect()}
+    assert rows[1] == 2 and rows[101] == 101 + 5_000_000_000
+
+
+def test_add_column_guards_and_changes_between(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), "url", 4).create(WSCHEMA)
+    t.merge_upsert(_wbatch(spark, 0, 8, 1))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("n", "int")
+    t.drop_column("score")
+    with pytest.raises(ValueError, match="dropped"):
+        t.add_column("score", "float")
+    with pytest.raises(ValueError, match="plain scalar"):
+        t.add_column("meta", "string", default=["x"])
+
+    s1 = t.snapshot_id()
+    t.add_column("rank", "int", default=9)
+    # add-only commit: zero row changes (older side fills the default)
+    assert t.changes_between(s1, t.snapshot_id()).count() == 0
+    t.merge_upsert(
+        _wbatch(spark, 0, 1, 5)
+        .drop("score")  # 'score' was dropped above; re-adding is fenced
+        .withColumn("rank", F.lit(1).cast("int"))
+    )
+    ch = t.changes_between(s1, t.snapshot_id()).collect()
+    assert len(ch) == 1 and ch[0]["change_op"] == "update"
+    assert ch[0]["before"]["rank"] == 9 and ch[0]["after"]["rank"] == 1
