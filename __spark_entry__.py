@@ -4053,6 +4053,67 @@ def q_cdc_widen_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "n_views").orderBy("url")
 
 
+def q_cdc_eqdelete_state(spark, sf_dir):
+    """Iceberg-v2 equality deletes on a MoR table: replay half the log,
+    DELETE WHERE seq%5=0 in DELTA mode (zero files rewritten — keys go
+    to small delete files, reads anti-join older files), replay the
+    rest — post-delete events re-insert freely because their files are
+    newer than the delete commit."""
+    import tempfile
+
+    from clinvar_ingest_spark.tables import SnapshotTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = _events_as_change_log(spark, sf_dir).drop("part")
+    mid = base.agg(F.max("seq")).collect()[0][0] // 2
+    path = tempfile.mkdtemp(prefix="cdc_eqdel_")
+    tbl = SnapshotTable(spark, path, key_col="url", n_buckets=16).create(schema)
+    tbl.merge_upsert(base.filter(F.col("seq") <= mid), merge_mode="mor")
+    tbl.delete_where(F.col("seq") % 5 == 0, mode="delta")
+    tbl.merge_upsert(base.filter(F.col("seq") > mid), merge_mode="mor")
+    return tbl.read().select("url", "seq").orderBy("url")
+
+
+_SQL_CDC_EQDELETE = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op
+  FROM events
+),
+mx AS (SELECT max(seq) // 2 AS mid FROM log),
+h1 AS (
+  SELECT url, seq, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log, mx WHERE seq <= mid
+),
+deleted AS (
+  SELECT url FROM h1 WHERE rn = 1 AND op <> 'delete' AND seq % 5 = 0
+),
+kept AS (
+  SELECT l.url, l.warc_ts, l.seq, l.op FROM log l, mx
+  WHERE l.url NOT IN (SELECT url FROM deleted) OR l.seq > mx.mid
+),
+winners AS (
+  SELECT url, seq, op,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM kept
+)
+SELECT url, seq FROM winners WHERE rn = 1 AND op <> 'delete'
+ORDER BY url
+"""
+
+
 def q_cdc_default_state(spark, sf_dir):
     """Defaulted column add mid-stream (Iceberg v3 initial-default):
     replay half the log, ADD priority int DEFAULT 5 (zero files
@@ -6160,6 +6221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "cdc_default_state": q_cdc_default_state,
+        "cdc_eqdelete_state": q_cdc_eqdelete_state,
     }
 
 
@@ -6333,4 +6395,5 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "brand_supplier_counts": _SQL_BRAND_SUPPLIERS,
         "ccnet_ppl_buckets": _SQL_CCNET_BUCKETS,
         "cdc_default_state": _SQL_CDC_DEFAULT,
+        "cdc_eqdelete_state": _SQL_CDC_EQDELETE,
     }

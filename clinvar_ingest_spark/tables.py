@@ -363,6 +363,61 @@ class SnapshotTable:
             df = parts[0]
             for d in parts[1:]:
                 df = df.unionByName(d)
+        dels = m.get("delete_files", [])
+        if dels and files:
+            # equality deletes (Iceberg v2): anti-join rows from files
+            # OLDER than each delete commit against the deleted keys.
+            # Applied BEFORE the LWW resolve so every stored version of
+            # a deleted key goes (Iceberg applies deletes per data file
+            # before merge-on-read), and with the tombstone exemption —
+            # LWW delete markers are never eq-deleted. The per-row file
+            # sid is pure codegen (regexp on input_file_name); the
+            # delete side is tiny and broadcastable, and a pruned read
+            # pushes the bucket filter into the delete-file scan.
+            by_sid: dict[int, list[str]] = {}
+            for d in dels:
+                by_sid.setdefault(int(d["sid"]), []).append(d["path"])
+            dparts = []
+            for dsid, dpaths in sorted(by_sid.items()):
+                dparts.append(
+                    self.spark.read.schema(
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    self.key_col, schema[self.key_col].dataType
+                                ),
+                                T.StructField(BUCKET_COL, T.IntegerType()),
+                            ]
+                        )
+                    )
+                    .parquet(*dpaths)
+                    .select(
+                        F.col(self.key_col).alias("_del_key"),
+                        F.col(BUCKET_COL).alias("_del_bucket"),
+                    )
+                    .withColumn("_del_sid", F.lit(dsid))
+                )
+            del_df = dparts[0]
+            for d in dparts[1:]:
+                del_df = del_df.unionByName(d)
+            if buckets is not None:
+                del_df = del_df.filter(F.col("_del_bucket").isin(list(buckets)))
+            df = df.withColumn(
+                "_fsid",
+                F.regexp_extract(
+                    F.input_file_name(), r"/s(\d{8})-[^/]*/", 1
+                ).cast("int"),
+            )
+            cond = (
+                (F.col(self.key_col) == F.col("_del_key"))
+                & (F.col("_fsid") < F.col("_del_sid"))
+                & ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            # no forced broadcast: the delete side is usually tiny and
+            # auto-broadcasts off its parquet size, but a bulk delete's
+            # key set can be arbitrarily large — the planner must keep
+            # the shuffled-anti-join escape hatch
+            df = df.join(del_df, cond, "left_anti").drop("_fsid")
         if resolve and m.get("read_mode") == "lww":
             df = lww_dedup(
                 df,
@@ -740,6 +795,7 @@ class SnapshotTable:
                     "dropped": list(t.get("dropped", [])),
                     "widens": list(t.get("widens", [])),
                     "adds": list(t.get("adds", [])),
+                    "delete_files": list(t.get("delete_files", [])),
                 },
             )
         except BaseException:
@@ -1403,7 +1459,7 @@ class SnapshotTable:
         if parent_name is not None:
             try:
                 pm = self._load_manifest(parent_name)
-                for k in ("renames", "dropped", "widens", "adds"):
+                for k in ("renames", "dropped", "widens", "adds", "delete_files"):
                     if pm.get(k):
                         evo[k] = pm[k]
             except OSError:
@@ -1740,6 +1796,9 @@ class SnapshotTable:
                 for f in files:
                     if not os.path.realpath(f).startswith(root):
                         out.add(f)
+            for d in m.get("delete_files", []):
+                if not os.path.realpath(d["path"]).startswith(root):
+                    out.add(d["path"])
         return sorted(out)
 
     def shallow_clone(self, dst_path: str) -> "SnapshotTable":
@@ -1806,7 +1865,7 @@ class SnapshotTable:
             }
             if m.get("order_cols"):
                 manifest["order_cols"] = list(m["order_cols"])
-            for k in ("renames", "dropped", "widens", "adds"):
+            for k in ("renames", "dropped", "widens", "adds", "delete_files"):
                 if m.get(k):
                     manifest[k] = m[k]
             os.makedirs(os.path.join(dst_path, _MANIFESTS), exist_ok=True)
@@ -1877,6 +1936,11 @@ class SnapshotTable:
                     nf = [mapping.get(f, f) for f in files]
                     if nf != files:
                         mm_["buckets"][b] = nf
+                        changed = True
+                for d in mm_.get("delete_files", []):
+                    np_ = mapping.get(d["path"], d["path"])
+                    if np_ != d["path"]:
+                        d["path"] = np_
                         changed = True
                 if changed:
                     mm_.pop("_name", None)
@@ -2683,6 +2747,21 @@ class SnapshotTable:
             for b, files in m["buckets"].items()
             if len(files) > max_files_per_bucket
         ]
+        dels = m.get("delete_files", [])
+        if dels:
+            # fold equality deletes: any bucket still holding a file
+            # older than the newest delete commit gets rewritten (the
+            # read below applies the anti-join), then the delete files
+            # are dropped from the manifest — reads go join-free again
+            max_del = max(int(d["sid"]) for d in dels)
+            fat = sorted(
+                set(fat)
+                | {
+                    int(b)
+                    for b, files in m["buckets"].items()
+                    if any(self._file_write_sid(f) < max_del for f in files)
+                }
+            )
         if not fat:
             return None
         df = self.read(buckets=fat, snapshot=m, include_deleted=True)
@@ -2712,17 +2791,35 @@ class SnapshotTable:
             dict(m.get("properties", {})), m["snapshot_id"], {"n_rows": n},
             read_mode=read_mode, order_cols=m.get("order_cols"),
             parent_name=m["_name"],
+            schema_evolution={"delete_files": []} if dels else None,
         )
         return CommitResult(sid, mp, fat, 0, 0, n, m.get("properties", {}))
 
-    def delete_where(self, predicate) -> CommitResult | None:
-        """Row-level DELETE (Iceberg copy-on-write DELETE analog): drop
-        live rows matching ``predicate`` by rewriting ONLY the buckets
-        that hold matches (one pruned scan finds them; every other
-        bucket is metadata-untouched). Administrative physical removal
-        — unlike a merge tombstone it leaves no marker, so a later
-        stale event CAN re-insert the key; use merge tombstones for
-        CDC-ordered deletion. Returns None when nothing matches."""
+    def delete_where(self, predicate, mode: str = "cow") -> CommitResult | None:
+        """Row-level DELETE (Iceberg DELETE analog): drop live rows
+        matching ``predicate``. Administrative physical removal — unlike
+        a merge tombstone it leaves no marker, so a later stale event
+        CAN re-insert the key; use merge tombstones for CDC-ordered
+        deletion. Returns None when nothing matches.
+
+        ``mode="cow"`` (default): rewrite ONLY the buckets that hold
+        matches (one pruned scan finds them; every other bucket is
+        metadata-untouched).
+
+        ``mode="delta"``: Iceberg v2 EQUALITY-DELETE shape — NO data
+        file is rewritten; the matching keys are written as small
+        per-commit delete files and every read anti-joins rows from
+        OLDER files (file write-sid < delete-sid) against them, so rows
+        (re)written after the delete survive. The write-side cost moves
+        to a small parquet append; the read-side cost is one
+        broadcastable anti-join until :meth:`compact` folds the delete
+        files away. The scale trade is exactly Iceberg's: delta deletes
+        for frequent fine-grained deletes on huge tables, CoW when reads
+        dominate."""
+        if mode == "delta":
+            return self._delete_where_delta(predicate)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r}")
         m = self.current_manifest()
         if m is None:
             raise ValueError(f"table {self.path} does not exist")
@@ -2748,6 +2845,58 @@ class SnapshotTable:
             buckets=touched, snapshot=m, include_deleted=True
         ).filter(~live_match)
         return self._rewrite_buckets(m, touched, keep)
+
+    def _delete_where_delta(self, predicate) -> CommitResult | None:
+        """Equality-delete implementation: one pruned scan collects the
+        matching LIVE keys (with their bucket, kept in the file so
+        pruned reads push the bucket filter into the delete-file scan),
+        written as parquet under the next snapshot's epoch dir and
+        registered flat in the manifest as
+        ``delete_files: [{path, sid}]``. Tombstones are never
+        eq-deleted (same contract as the CoW path — they are LWW
+        markers); the read-side anti-join carries the same exemption."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        sid_next = m["snapshot_id"] + 1
+        matched = (
+            self.read(snapshot=m)
+            .filter(predicate)
+            .select(self.key_col, BUCKET_COL)
+            .distinct()
+        )
+        out_dir = os.path.join(
+            self.path, _DATA, f"s{sid_next:08d}-eqdel-{uuid.uuid4().hex[:8]}"
+        )
+        matched.write.parquet(out_dir)
+        paths = sorted(
+            os.path.join(out_dir, fn)
+            for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet")
+        )
+        n_keys = _footer_rows(paths)
+        if n_keys == 0:
+            import shutil as _sh
+
+            _sh.rmtree(out_dir, ignore_errors=True)
+            return None
+        dels = list(m.get("delete_files", [])) + [
+            {"path": p, "sid": sid_next} for p in paths
+        ]
+        sid, mp = self._commit(
+            {int(b): list(f) for b, f in m["buckets"].items()},
+            T.StructType.fromJson(m["schema"]),
+            dict(m.get("properties", {})), m["snapshot_id"],
+            dict(m.get("stats", {})),
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"), parent_name=m["_name"],
+            schema_evolution={"delete_files": dels},
+        )
+        return CommitResult(
+            sid, mp, [], 0, n_keys,
+            int(m.get("stats", {}).get("n_rows", -1)),
+            m.get("properties", {}),
+        )
 
     def update_where(self, predicate, assignments: dict) -> CommitResult | None:
         """Row-level UPDATE (copy-on-write UPDATE analog): apply
@@ -3119,6 +3268,10 @@ class SnapshotTable:
                 roots.append(p)
             for files in m["buckets"].values():
                 referenced.update(os.path.realpath(f) for f in files)
+            referenced.update(
+                os.path.realpath(d["path"])
+                for d in m.get("delete_files", [])
+            )
         # shallow clones reference this table's files by absolute path:
         # every live clone's reachable manifests are GC roots too (this
         # is the contract Delta's VACUUM breaks — a vacuumed source
@@ -3146,6 +3299,10 @@ class SnapshotTable:
                     croots.append(p)
                 for files in m["buckets"].values():
                     referenced.update(os.path.realpath(f) for f in files)
+                referenced.update(
+                    os.path.realpath(d["path"])
+                    for d in m.get("delete_files", [])
+                )
         data_root = os.path.join(self.path, _DATA)
         removed = kept = 0
         for dirpath, _dirs, files in os.walk(data_root):
