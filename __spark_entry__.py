@@ -3383,6 +3383,22 @@ def q_cdc_dml_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "text").orderBy("url")
 
 
+def q_cdc_delta_dml_state(spark, sf_dir):
+    """The DELTA-mode twin of cdc_dml_state: identical replay and row
+    edits, but DELETE writes an equality-delete file and UPDATE appends
+    masked copies (Iceberg v2 MoR DML — zero rewrites). It shares
+    cdc_dml_state's oracle verbatim, so the driver gate proves CoW and
+    delta DML produce the same state."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    tbl.delete_where(F.col("seq") % 13 == 0, mode="delta")
+    tbl.update_where(
+        F.col("seq") % 7 == 1,
+        {"text": F.concat(F.col("text"), F.lit(" [edited]"))},
+        mode="delta",
+    )
+    return tbl.read().select("url", "seq", "text").orderBy("url")
+
+
 _SQL_CDC_DML = """
 WITH log AS (
   SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
@@ -6222,6 +6238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "cdc_default_state": q_cdc_default_state,
         "cdc_eqdelete_state": q_cdc_eqdelete_state,
+        "cdc_delta_dml_state": q_cdc_delta_dml_state,
     }
 
 
@@ -6396,4 +6413,5 @@ SELECT o_orderstatus, count(*) AS n FROM (
         "ccnet_ppl_buckets": _SQL_CCNET_BUCKETS,
         "cdc_default_state": _SQL_CDC_DEFAULT,
         "cdc_eqdelete_state": _SQL_CDC_EQDELETE,
+        "cdc_delta_dml_state": _SQL_CDC_DML,
     }

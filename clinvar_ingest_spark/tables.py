@@ -2898,11 +2898,28 @@ class SnapshotTable:
             m.get("properties", {}),
         )
 
-    def update_where(self, predicate, assignments: dict) -> CommitResult | None:
-        """Row-level UPDATE (copy-on-write UPDATE analog): apply
-        ``assignments`` (col -> Column expression) to live rows
-        matching ``predicate``; buckets without matches are untouched.
-        Returns None when nothing matches."""
+    def update_where(
+        self, predicate, assignments: dict, mode: str = "cow"
+    ) -> CommitResult | None:
+        """Row-level UPDATE: apply ``assignments`` (col -> Column
+        expression) to live rows matching ``predicate``. Returns None
+        when nothing matches.
+
+        ``mode="cow"`` (default): rewrite only the buckets holding
+        matches.
+
+        ``mode="delta"``: Iceberg v2 MoR UPDATE shape — the updated
+        rows are APPENDED as new files and the old copies are masked by
+        an equality-delete file committed in the same snapshot (new
+        files carry the delete's own sid, so they survive the strict
+        ``fsid < del_sid`` anti-join). Nothing is rewritten; reads stay
+        exactly-one-version-per-key because the anti-join removes every
+        older copy; :meth:`compact` folds both the deltas and the
+        delete files."""
+        if mode == "delta":
+            return self._update_where_delta(predicate, assignments)
+        if mode != "cow":
+            raise ValueError(f"unknown update mode {mode!r}")
         m = self.current_manifest()
         if m is None:
             raise ValueError(f"table {self.path} does not exist")
@@ -2928,6 +2945,73 @@ class SnapshotTable:
         for name, expr in assignments.items():
             df = df.withColumn(name, F.when(hit, expr).otherwise(F.col(name)))
         return self._rewrite_buckets(m, touched, df)
+
+    def _update_where_delta(self, predicate, assignments: dict):
+        """Delta UPDATE: one pruned scan finds the matching live rows;
+        the transformed copies are appended as per-bucket files at the
+        NEXT snapshot id and the matched keys land in an equality-delete
+        file at the same id — one atomic commit, zero rewrites. The
+        delete file is derived by reading the two key columns back from
+        the just-written delta files (footer-pruned, no second
+        full scan)."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        if self.key_col in assignments:
+            raise ValueError(
+                f"cannot update the bucketing key {self.key_col!r} in "
+                "place; delete + re-insert instead"
+            )
+        sid_next = m["snapshot_id"] + 1
+        matched = self.read(snapshot=m).filter(predicate)
+        upd = matched.withColumn(DELETED_COL, F.lit(False))
+        for name, expr in assignments.items():
+            upd = upd.withColumn(name, expr)
+        target_schema = T.StructType.fromJson(m["schema"])
+        out_cols = [
+            f.name for f in target_schema.fields if f.name != BUCKET_COL
+        ]
+        new_files = self._write_buckets(
+            upd.select(*out_cols, BUCKET_COL), sid_next
+        )
+        if not new_files:
+            return None
+        flat_new = [f for fs in new_files.values() for f in fs]
+        n_updated = _footer_rows(flat_new)
+        out_dir = os.path.join(
+            self.path, _DATA, f"s{sid_next:08d}-eqdel-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            self.spark.read.parquet(*flat_new)
+            .select(self.key_col, BUCKET_COL)
+            .distinct()
+            .write.parquet(out_dir)
+        )
+        dpaths = sorted(
+            os.path.join(out_dir, fn)
+            for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet")
+        )
+        dels = list(m.get("delete_files", [])) + [
+            {"path": p, "sid": sid_next} for p in dpaths
+        ]
+        buckets = {int(b): list(f) for b, f in m["buckets"].items()}
+        for b, fs in new_files.items():
+            buckets.setdefault(b, [])
+            buckets[b] = buckets[b] + fs  # APPEND, never replace
+        sid, mp = self._commit(
+            buckets, target_schema, dict(m.get("properties", {})),
+            m["snapshot_id"],
+            {"n_rows": _footer_rows([f for fs in buckets.values() for f in fs])},
+            read_mode=m.get("read_mode", "plain"),
+            order_cols=m.get("order_cols"), parent_name=m["_name"],
+            schema_evolution={"delete_files": dels},
+        )
+        return CommitResult(
+            sid, mp, sorted(new_files), n_updated, 0,
+            int(m.get("stats", {}).get("n_rows", -1)),
+            m.get("properties", {}),
+        )
 
     # -- CHECK constraints (Delta ADD CONSTRAINT analog) ---------------
     # Stored in table properties as ``check.<name> -> SQL expr`` so they

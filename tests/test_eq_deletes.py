@@ -135,3 +135,47 @@ def test_chained_delta_deletes_and_vacuum_keeps_delete_files(spark, tmp_table_di
     # delete files are GC roots — state still correct after the sweep
     assert {r["url"] for r in t.read().collect()} == {"u2", "u3", "u4", "u5"}
     assert swept["removed"] == 0 or t.read().count() == 4
+
+
+def test_delta_update_appends_and_masks(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.merge_upsert(_batch(spark, [
+        (f"u{i}", _ts(i), i, f"v{i}", "update") for i in range(6)
+    ]))
+    files_before = _data_files(t)
+    sid_pre = t.snapshot_id()
+
+    res = t.update_where(
+        F.col("seq") % 2 == 0,
+        {"text": F.concat(F.col("text"), F.lit("!"))},
+        mode="delta",
+    )
+    assert res is not None and res.n_upserts == 3
+    # old files untouched, new delta files appended
+    assert set(files_before) < set(_data_files(t))
+    rows = {r["url"]: r["text"] for r in t.read().collect()}
+    assert rows == {
+        "u0": "v0!", "u1": "v1", "u2": "v2!",
+        "u3": "v3", "u4": "v4!", "u5": "v5",
+    }
+    assert t.read().count() == 6          # exactly one version per key
+    assert t.read_at(sid_pre).count() == 6  # time travel: pre-update
+
+    # chained delta update composes (second masks the first's copies)
+    t.update_where(F.col("seq") == 0, {"text": F.lit("zero")}, mode="delta")
+    rows = {r["url"]: r["text"] for r in t.read().collect()}
+    assert rows["u0"] == "zero" and rows["u2"] == "v2!"
+    assert t.read().count() == 6
+
+    # compaction folds deltas + delete files; values keep
+    t.compact()
+    assert t.current_manifest().get("delete_files", []) == []
+    assert {r["url"]: r["text"] for r in t.read().collect()} == rows
+
+    # no matches -> None; guards
+    assert t.update_where(F.col("seq") > 99, {"text": F.lit("x")},
+                          mode="delta") is None
+    with pytest.raises(ValueError, match="bucketing key"):
+        t.update_where(F.lit(True), {"url": F.lit("x")}, mode="delta")
+    with pytest.raises(ValueError, match="unknown update mode"):
+        t.update_where(F.lit(True), {"text": F.lit("x")}, mode="bad")
