@@ -179,3 +179,23 @@ def test_delta_update_appends_and_masks(spark, tmp_table_dir):
         t.update_where(F.lit(True), {"url": F.lit("x")}, mode="delta")
     with pytest.raises(ValueError, match="unknown update mode"):
         t.update_where(F.lit(True), {"text": F.lit("x")}, mode="bad")
+
+
+def test_pruned_read_pushes_bucket_filter_into_delete_scan(spark, tmp_table_dir):
+    """A bucket-pruned read must not scan the whole delete key set: the
+    bucket filter reaches the delete-file parquet scan as a pushed
+    predicate (the bucket column is stored in the delete file for
+    exactly this)."""
+    t = _mk(spark, tmp_table_dir)
+    t.merge_upsert(_batch(spark, [
+        (f"u{i}", _ts(i), i, f"v{i}", "update") for i in range(12)
+    ]))
+    t.delete_where(F.col("seq") % 3 == 0, mode="delta")
+    some_bucket = int(next(iter(t.current_manifest()["buckets"])))
+    plan = (
+        t.read(buckets=[some_bucket])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(_bucket" in plan or "EqualTo(_bucket" in plan, plan[:4000]
