@@ -291,15 +291,18 @@ def ccnet_ppl_buckets(
 
     Scale notes: the model is floored + measured-broadcast exactly like
     :func:`bigram_frequency_score`; scoring is one keyed shuffle. The
-    ranking window partitions by language — at 100 TB a single language
-    holds ~10^9 docs, so ONE window partition per language would hot-spot
-    an executor. The scale path swaps the exact window for per-language
-    score-histogram cutoffs (two shuffles, no giant partition) at the
-    cost of approximate boundaries; the exact window is the correctness
-    gate and is what CCNet itself computes on its per-shard scale.
-    Reference analog: processing gated per-release then fanned out
-    per-entity (clinvar_ingest/workflow.py) — here the gate key is the
-    language.
+    rank itself is SKEW-SAFE and still exact: naive
+    ``row_number() over (partition by lang)`` would put ~10^9 docs of a
+    single language into ONE window partition at web scale, so instead
+    the rank decomposes into (a) cumulative doc counts over the
+    aggregated (lang, score) groups — a table whose size is the number
+    of DISTINCT scores per language, windowed cheaply — plus (b) a
+    ``row_number`` within each (lang, score) tie group ordered by id.
+    ``cum_before + tie_rank`` equals the global rank by
+    (score desc, id) exactly, and the widest window partition shrinks
+    from |language| to |largest tie group|. Reference analog:
+    processing gated per-release then fanned out per-entity
+    (clinvar_ingest/workflow.py) — here the gate key is the language.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -342,13 +345,26 @@ def ccnet_ppl_buckets(
         F.lit(0).cast("long").alias("n_bigrams"),
     )
     allx = scored.unionByName(shorts)
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("bigram_score").desc(), F.col(id_col)
+    # skew-safe exact rank: cumulative counts over (lang, score) groups
+    # + row_number within the tie group by id == rank over
+    # (partition by lang order by score desc, id), without ever putting
+    # a whole language into one window partition
+    grp = allx.groupBy(lang_col, "bigram_score").agg(
+        F.count(F.lit(1)).alias("_g")
     )
-    nw = Window.partitionBy(lang_col)
-    ranked = allx.withColumn(
-        "_rank", F.row_number().over(w)
-    ).withColumn("_n", F.count(F.lit(1)).over(nw))
+    w_cum = Window.partitionBy(lang_col).orderBy(
+        F.col("bigram_score").desc()
+    )
+    w_tot = Window.partitionBy(lang_col)
+    grp = grp.withColumn(
+        "_cum", F.sum("_g").over(w_cum) - F.col("_g")
+    ).withColumn("_n", F.sum("_g").over(w_tot)).drop("_g")
+    w_tie = Window.partitionBy(lang_col, "bigram_score").orderBy(
+        F.col(id_col)
+    )
+    ranked = allx.join(grp, [lang_col, "bigram_score"]).withColumn(
+        "_rank", F.col("_cum") + F.row_number().over(w_tie)
+    )
     nb = int(n_buckets)
     bucket = F.expr(f"CAST(((_rank - 1) * {nb}) DIV _n AS INT)")
     label = (
