@@ -5002,6 +5002,59 @@ ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 
 
+def q_bm25_search_topk(spark, sf_dir):
+    """Top-15 docs by BM25 (k1=6/5, b=3/4) with the full Robertson
+    length normalization cleared to integer-rational arithmetic
+    (operators/search.py bm25_topk): every fraction multiplied through
+    by 10*L so each term contributes
+    (22*L*idf*scale*tf) DIV (10*L*tf + 3*L + 9*N*dl) — exact BIGINTs,
+    so even the length-normalized ranking value-hashes across engines.
+    Same zero-explode scan shape as keyword_search (per-term tf is a
+    codegen size(filter(...)), stats from ONE aggregate row)."""
+    from clinvar_ingest_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "hash", "window"], k=15)
+
+
+_SQL_BM25_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS ts
+  FROM documents
+),
+tfs AS (
+  SELECT doc_id, len(ts) AS dl,
+         len(list_filter(ts, x -> x = 'spark'))  AS tf0,
+         len(list_filter(ts, x -> x = 'hash'))   AS tf1,
+         len(list_filter(ts, x -> x = 'window')) AS tf2
+  FROM toks
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS l,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tfs
+),
+scored AS (
+  SELECT doc_id,
+         CAST(
+           (22*l*(CASE WHEN df0 > 0 THEN n // df0 ELSE 0 END)*10000*tf0)
+             // (10*l*tf0 + 3*l + 9*n*dl)
+         + (22*l*(CASE WHEN df1 > 0 THEN n // df1 ELSE 0 END)*10000*tf1)
+             // (10*l*tf1 + 3*l + 9*n*dl)
+         + (22*l*(CASE WHEN df2 > 0 THEN n // df2 ELSE 0 END)*10000*tf2)
+             // (10*l*tf2 + 3*l + 9*n*dl)
+         AS BIGINT) AS score
+  FROM tfs, stats
+)
+SELECT doc_id, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
 # =====================================================================
 # Hashed linear classifier inference (operators/classifier.py): the
 # fastText/VW deploy shape — dim-row weight vector broadcast, corpus
@@ -6239,6 +6292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_default_state": q_cdc_default_state,
         "cdc_eqdelete_state": q_cdc_eqdelete_state,
         "cdc_delta_dml_state": q_cdc_delta_dml_state,
+        "bm25_search_topk": q_bm25_search_topk,
     }
 
 
@@ -6273,6 +6327,7 @@ FROM (
         "cdc_ivm_index": _SQL_CDC_IVM_INDEX,
         "inverted_index": _SQL_INVERTED_INDEX,
         "keyword_search_topk": _SQL_KEYWORD_SEARCH,
+        "bm25_search_topk": _SQL_BM25_SEARCH,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

@@ -12,6 +12,9 @@
   and term weights use truncating integer division (idf ~ N // df) so
   scores are exact BIGINTs — deterministic across engines and
   partitionings, no float log in the hot path.
+* ``bm25_topk`` — the same zero-explode scan shape with the full BM25
+  length normalization (k1=6/5, b=3/4) cleared to integer-rational
+  arithmetic, so even the length-normalized ranking value-hashes.
 
 Reference analog: the reference has no search layer (it ships rows to
 BigQuery); these are the engine additions a webtext corpus needs.
@@ -139,6 +142,112 @@ def keyword_search(
         score = part if score is None else score + part
     return (
         scored0.select("doc_id", score.cast("long").alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Top-k docs by BM25 (k1 = 6/5, b = 3/4) in EXACT integer-rational
+    arithmetic, so the ranking is bit-stable across engines, partition
+    counts, and replays (the same trick as ``keyword_search`` but with
+    the full Robertson length normalization).
+
+    Per term t:  score_t = idf_t * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with avgdl = L/N (L = corpus token count, N = corpus doc count).
+    Clearing every fraction by multiplying through by 10*L:
+
+        score_t = (22 * L * idf_t * scale * tf)
+                  DIV (10*L*tf + 3*L + 9*N*dl)
+
+    idf_t is the truncating ``N // df_t`` (monotone in rarity; same
+    form as ``keyword_search``), DIV is truncating integer division
+    (identical in Spark and DuckDB), and ``scale`` keeps resolution
+    through the division.  Every intermediate is a BIGINT; a driver-side
+    guard raises when the worst-case numerator (22*L*maxdl*max_idf*scale)
+    would not fit in int64 — at that scale production ranking would use
+    float BM25 (ranking tolerates fp), this form is the cross-engine
+    exact shape.
+
+    Plan: one projection computes dl + every per-term tf (codegen
+    ``size(filter(...))``, no explode), ONE global aggregate row yields
+    (dfs, N, L, maxdl), then a TakeOrdered top-k.  No shuffle beyond the
+    single aggregate; the corpus is scanned twice (stats, scoring).
+    """
+    terms = list(dict.fromkeys(t.lower() for t in terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("_toks")
+    )
+
+    def _tf(term):
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    scored0 = toks.select(
+        "doc_id", F.size("_toks").cast("long").alias("_dl"), *tf_cols
+    )
+    stats = scored0.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_l"),
+        F.max("_dl").alias("_maxdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs, total_len = int(stats["_n"]), int(stats["_l"] or 0)
+    maxdl = int(stats["_maxdl"] or 0)
+    if n_docs == 0 or total_len == 0:
+        return scored0.select(
+            "doc_id", F.lit(0).cast("long").alias("score")
+        ).limit(0)
+    idfs = [
+        (n_docs // stats[f"_df{i}"]) if stats[f"_df{i}"] else 0
+        for i in range(len(terms))
+    ]
+    max_idf = max(idfs) if idfs else 0
+    if max_idf and 22 * total_len * maxdl * max_idf * scale >= 2**63:
+        raise ValueError(
+            "bm25_topk integer-exact form would overflow int64 at this "
+            "corpus size/scale; lower `scale` or use a float BM25"
+        )
+    # sum_i (num_i DIV den_i): DIV needs expr(), so name the pieces in
+    # one projection then fold them in a selectExpr
+    pieces = []
+    for i in range(len(terms)):
+        pieces.append(
+            (
+                F.lit(int(22 * total_len * idfs[i] * scale))
+                * F.col(f"_tf{i}")
+            ).alias(f"_num{i}")
+        )
+        pieces.append(
+            (
+                F.lit(int(10 * total_len)) * F.col(f"_tf{i}")
+                + F.lit(int(3 * total_len))
+                + F.lit(int(9 * n_docs)) * F.col("_dl")
+            ).alias(f"_den{i}")
+        )
+    with_parts = scored0.select("doc_id", *pieces)
+    sum_expr = " + ".join(
+        f"(_num{i} DIV _den{i})" for i in range(len(terms))
+    )
+    return (
+        with_parts.selectExpr(
+            "doc_id", f"CAST({sum_expr} AS BIGINT) AS score"
+        )
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)

@@ -13,6 +13,7 @@ from clinvar_ingest_spark.operators.classifier import (
 )
 from clinvar_ingest_spark.operators.curation import temperature_resample
 from clinvar_ingest_spark.operators.search import (
+    bm25_topk,
     build_inverted_index,
     keyword_search,
 )
@@ -77,6 +78,60 @@ def test_keyword_search_k_and_absent_term(spark, corpus):
     assert len(out) == 1 and out[0]["doc_id"] == 3
     with pytest.raises(ValueError):
         keyword_search(corpus, [])
+
+
+def _bm25_twin(rows, terms, scale=10_000):
+    """Python twin of bm25_topk's integer-rational arithmetic."""
+    import re
+
+    from clinvar_ingest_spark.functions.text import TOKEN_PATTERN
+
+    toks = {d: re.findall(TOKEN_PATTERN, t.lower()) for d, t in rows}
+    n = len(rows)
+    total = sum(len(v) for v in toks.values())
+    out = {}
+    for d, ts in toks.items():
+        dl = len(ts)
+        s = 0
+        for term in terms:
+            tf = ts.count(term)
+            df = sum(1 for v in toks.values() if term in v)
+            idf = n // df if df else 0
+            num = 22 * total * idf * scale * tf
+            den = 10 * total * tf + 3 * total + 9 * n * dl
+            s += num // den
+        if s > 0:
+            out[d] = s
+    return out
+
+
+def test_bm25_matches_python_twin(spark, corpus):
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    want = _bm25_twin(rows, ["cat", "dog"])
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(corpus, ["cat", "dog"], k=10).collect()
+    }
+    assert got == want
+    # length normalization: doc 3 ('cat cat cat', short, tf=3) must
+    # outrank doc 1 ('the cat sat on the mat', long, tf=1)
+    assert got[3] > got[1]
+
+
+def test_bm25_guards(spark, corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, [])
+    # absurd scale trips the int64 overflow guard
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, ["cat"], scale=2**60)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, ["cat"]).count() == 0
+
+
+def test_bm25_partition_invariance(spark, corpus):
+    a = bm25_topk(corpus.repartition(1), ["cat", "mat"], k=10).collect()
+    b = bm25_topk(corpus.repartition(7), ["cat", "mat"], k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
 def test_classifier_exact_and_empty_doc(spark, corpus):
