@@ -3383,6 +3383,45 @@ def q_cdc_dml_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "text").orderBy("url")
 
 
+def q_cdc_range_scan(spark, sf_dir):
+    """File-level min/max stats pruning (Iceberg manifest file-stats
+    analog, tables.py build_column_stats/range_scan): after the 2-batch
+    CDC replay a stats sidecar is built over ``seq`` and a range scan
+    reads only files whose [min, max] can overlap — the residual filter
+    always applies, so stats only SKIP, never answer. Oracle replays
+    the LWW semantics in SQL with the same range predicate."""
+    tbl = _run_cdc(spark, sf_dir, n_batches=2, return_table=True)
+    tbl.build_column_stats(["seq"])
+    return (
+        tbl.range_scan("seq", 300, 1200)
+        .select("url", "seq", "text")
+        .orderBy("url")
+    )
+
+
+_SQL_CDC_RANGE_SCAN = """
+WITH log AS (
+  SELECT 'https://d' || CAST(user_id % 7 AS VARCHAR) || '.site/u'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts AS warc_ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'k' || CAST(event_id AS VARCHAR) || ' of user ' ||
+           CAST(user_id AS VARCHAR) AS text
+  FROM events
+),
+winners AS (
+  SELECT url, seq, op, text,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY warc_ts DESC, seq DESC) AS rn
+  FROM log
+)
+SELECT url, seq, text
+FROM winners
+WHERE rn = 1 AND op <> 'delete' AND seq BETWEEN 300 AND 1200
+ORDER BY url
+"""
+
+
 def q_cdc_delta_dml_state(spark, sf_dir):
     """The DELTA-mode twin of cdc_dml_state: identical replay and row
     edits, but DELETE writes an equality-delete file and UPDATE appends
@@ -6293,6 +6332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_eqdelete_state": q_cdc_eqdelete_state,
         "cdc_delta_dml_state": q_cdc_delta_dml_state,
         "bm25_search_topk": q_bm25_search_topk,
+        "cdc_range_scan": q_cdc_range_scan,
     }
 
 
@@ -6328,6 +6368,7 @@ FROM (
         "inverted_index": _SQL_INVERTED_INDEX,
         "keyword_search_topk": _SQL_KEYWORD_SEARCH,
         "bm25_search_topk": _SQL_BM25_SEARCH,
+        "cdc_range_scan": _SQL_CDC_RANGE_SCAN,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

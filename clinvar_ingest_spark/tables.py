@@ -304,6 +304,7 @@ class SnapshotTable:
         snapshot: dict[str, Any] | None = None,
         include_deleted: bool = False,
         resolve: bool = True,
+        file_filter: set[str] | None = None,
     ) -> DataFrame:
         """Current state. ``buckets`` prunes to the named buckets only —
         the manifest is the engine's partition-pruning index.
@@ -323,6 +324,14 @@ class SnapshotTable:
             raise ValueError(f"table {self.path} does not exist")
         schema = T.StructType.fromJson(m["schema"])
         files = self._files(m, buckets)
+        if file_filter is not None:
+            # file-level pruning (min/max stats sidecar): caller has
+            # already proven the dropped files can't satisfy its
+            # predicate; sound only on snapshot-mode reads (range_scan
+            # enforces that)
+            files = [
+                f for f in files if os.path.basename(f) in file_filter
+            ]
         renames = m.get("renames", [])
         widens = m.get("widens", [])
         adds = m.get("adds", [])
@@ -572,6 +581,150 @@ class SnapshotTable:
         return self.read(buckets=buckets).filter(
             F.col(col).cast("string") == F.lit(str(value))
         )
+
+    # -- per-file min/max column stats (Iceberg manifest file-stats
+    # analog): range predicates skip whole files whose [min, max]
+    # can't overlap. The bucket index prunes on the KEY; blooms prune
+    # equality on non-key columns; this prunes RANGES — the CDC shape
+    # is time-correlated data ("recent rows live in recent files"), so
+    # a warc_ts range scan touches only the matching commit epochs.
+    # Sidecar layout mirrors _blooms: snapshot-scoped, non-invasive (a
+    # new commit has no sidecar until the next build — pruning degrades
+    # to none, correctness unaffected; Iceberg folds the same stats
+    # into its manifests at write time).
+    _COLSTATS_DIR = "_colstats"
+
+    def _colstats_path(self, snapshot_id: int) -> str:
+        return os.path.join(
+            self.path, self._COLSTATS_DIR, f"s{snapshot_id:08d}.json"
+        )
+
+    @staticmethod
+    def _stats_encode(v):
+        """Canonical order-preserving JSON encoding for stats bounds:
+        numerics stay numeric; timestamps/dates become fixed-width ISO
+        strings (lexicographic == chronological); strings as-is."""
+        import datetime
+
+        if v is None:
+            return None
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        raise TypeError(f"column stats: unsupported bound type {type(v)}")
+
+    def build_column_stats(self, cols: list[str]) -> str:
+        """Build per-file [min, max] stats over ``cols`` for the CURRENT
+        snapshot and persist them as a snapshot-scoped sidecar.
+
+        One distributed pass over the resolved read (so renamed/widened/
+        defaulted epochs report bounds under CURRENT column names) with
+        tombstones INCLUDED — their values only widen bounds, which
+        keeps pruning conservative. The driver receives n_files × 2
+        scalars per column, never rows.
+
+        Requires a snapshot-mode table with no pending equality-delete
+        files: under MoR deltas a pruned file set could surface a STALE
+        LWW version whose winner lives in a pruned file (run
+        ``compact()`` first — same precondition Iceberg discharges by
+        tracking deletes per data file in its manifests)."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        if m.get("read_mode") == "lww" or m.get("delete_files"):
+            raise ValueError(
+                "column stats require a compacted snapshot-mode table "
+                "(MoR deltas / equality-delete files pending: run "
+                "compact() first)"
+            )
+        files = self._files(m)
+        out: dict[str, dict[str, list]] = {}
+        if files:
+            df = self.read(include_deleted=True).withColumn(
+                "_f", F.input_file_name()
+            )
+            aggs = []
+            for i, c in enumerate(cols):
+                aggs.append(F.min(c).alias(f"_mn{i}"))
+                aggs.append(F.max(c).alias(f"_mx{i}"))
+            for r in df.groupBy("_f").agg(*aggs).collect():
+                name = os.path.basename(r["_f"].replace("file:", ""))
+                out[name] = {
+                    c: [
+                        self._stats_encode(r[f"_mn{i}"]),
+                        self._stats_encode(r[f"_mx{i}"]),
+                    ]
+                    for i, c in enumerate(cols)
+                }
+        os.makedirs(
+            os.path.join(self.path, self._COLSTATS_DIR), exist_ok=True
+        )
+        path = self._colstats_path(m["snapshot_id"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"cols": list(cols), "files": out}, fh)
+        os.replace(tmp, path)
+        return path
+
+    def stats_prune_files(self, col: str, lo=None, hi=None):
+        """Basenames of current-snapshot files that MIGHT hold rows with
+        ``lo <= col <= hi`` per the stats sidecar; None when no sidecar
+        covers this snapshot+column (caller must scan everything).
+        Driver-side interval math over the sidecar only — no Spark job.
+        Files unknown to the sidecar are kept (never skip blind); files
+        whose stats are [null, null] hold no non-null value, and a range
+        predicate can't match null, so they ARE skipped."""
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.path} does not exist")
+        path = self._colstats_path(m["snapshot_id"])
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            side = json.load(fh)
+        if col not in side.get("cols", []):
+            return None
+        lo_e = self._stats_encode(lo)
+        hi_e = self._stats_encode(hi)
+        kept: set[str] = set()
+        stats = side["files"]
+        for f in self._files(m):
+            name = os.path.basename(f)
+            st = stats.get(name)
+            if st is None:  # file unknown to sidecar: can't skip
+                kept.add(name)
+                continue
+            mn, mx = st[col]
+            if mn is None and mx is None:
+                continue  # all-null column: no row matches a range
+            if (hi_e is None or mn <= hi_e) and (
+                lo_e is None or mx >= lo_e
+            ):
+                kept.add(name)
+        return kept
+
+    def range_scan(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read ``lo <= col <= hi`` (either bound optional),
+        file-pruned via the stats sidecar when one covers the current
+        snapshot, falling back to a full scan + filter otherwise. The
+        residual filter always applies — stats only SKIP, never
+        answer."""
+        m = self.current_manifest()
+        if m is not None and (
+            m.get("read_mode") == "lww" or m.get("delete_files")
+        ):
+            kept = None  # MoR/eq-deletes: pruning unsound, scan all
+        else:
+            kept = self.stats_prune_files(col, lo, hi)
+        df = self.read(file_filter=kept)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def changes_between(
         self,
@@ -2763,6 +2916,28 @@ class SnapshotTable:
                 }
             )
         if not fat:
+            if max_files_per_bucket == 1 and m.get("read_mode") == "lww":
+                # every bucket already holds one file, so each key has
+                # exactly one stored version (a delta file is one
+                # batch's deduped winners) — a plain scan is already
+                # LWW-equivalent. Flip the read mode in a METADATA-ONLY
+                # commit so downstream snapshot-mode-gated paths
+                # (column-stats pruning, range_scan) work without a
+                # rewrite.
+                buckets = {int(b): list(f) for b, f in m["buckets"].items()}
+                n = _footer_rows(
+                    [f for fs in buckets.values() for f in fs]
+                )
+                sid, mp = self._commit(
+                    buckets, T.StructType.fromJson(m["schema"]),
+                    dict(m.get("properties", {})), m["snapshot_id"],
+                    {"n_rows": n}, read_mode="plain",
+                    order_cols=m.get("order_cols"),
+                    parent_name=m["_name"],
+                )
+                return CommitResult(
+                    sid, mp, [], 0, 0, n, m.get("properties", {})
+                )
             return None
         df = self.read(buckets=fat, snapshot=m, include_deleted=True)
         # compaction writes unsalted: one file per bucket is the goal
