@@ -3383,6 +3383,68 @@ def q_cdc_dml_state(spark, sf_dir):
     return tbl.read().select("url", "seq", "text").orderBy("url")
 
 
+def q_epoch_shuffle_shards(spark, sf_dir):
+    """Deterministic dataloader shuffle (operators/curation.py
+    epoch_shuffle): order key = md5(seed:doc_id), shard = key-prefix
+    mod 8, pos = rank within shard — bit-identical across engines and
+    partitionings so a training run can resume from (shard, pos)."""
+    from clinvar_ingest_spark.operators.curation import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(d, 8, seed="epoch0").orderBy("shard", "pos")
+
+
+_SQL_EPOCH_SHUFFLE = r"""
+WITH keyed AS (
+  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, k,
+         CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos
+FROM sharded
+ORDER BY shard, pos
+"""
+
+
+def q_upsample_mixture(spark, sf_dir):
+    """Repeat-factor domain mixing (operators/curation.py
+    upsample_repeat): src0 runs 5/2 epochs (2 copies + an md5-chosen
+    half gets a 3rd), src1 is dropped (0 epochs), everything else
+    defaults to one copy — the '2.5 epochs of wiki' recipe with
+    integer-exact per-domain mass."""
+    from clinvar_ingest_spark.operators.curation import upsample_repeat
+
+    d = _t(spark, sf_dir, "documents")
+    return upsample_repeat(
+        d, {"src0": (5, 2), "src1": (0, 1)}, domain_col="source"
+    ).orderBy("doc_id", "copy")
+
+
+_SQL_UPSAMPLE = r"""
+WITH sized AS (
+  SELECT doc_id, source AS domain,
+         CASE WHEN source = 'src0' THEN 2
+              WHEN source = 'src1' THEN 0
+              ELSE 1 END
+         + CASE WHEN source = 'src0' AND
+                     CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 2 < 1
+                THEN 1 ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, domain, CAST(unnest(generate_series(0, n - 1)) AS INT) AS copy
+FROM sized
+WHERE n > 0
+ORDER BY doc_id, copy
+"""
+
+
 def q_cdc_range_scan(spark, sf_dir):
     """File-level min/max stats pruning (Iceberg manifest file-stats
     analog, tables.py build_column_stats/range_scan): after the 2-batch
@@ -6333,6 +6395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delta_dml_state": q_cdc_delta_dml_state,
         "bm25_search_topk": q_bm25_search_topk,
         "cdc_range_scan": q_cdc_range_scan,
+        "epoch_shuffle_shards": q_epoch_shuffle_shards,
+        "upsample_mixture": q_upsample_mixture,
     }
 
 
@@ -6369,6 +6433,8 @@ FROM (
         "keyword_search_topk": _SQL_KEYWORD_SEARCH,
         "bm25_search_topk": _SQL_BM25_SEARCH,
         "cdc_range_scan": _SQL_CDC_RANGE_SCAN,
+        "epoch_shuffle_shards": _SQL_EPOCH_SHUFFLE,
+        "upsample_mixture": _SQL_UPSAMPLE,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

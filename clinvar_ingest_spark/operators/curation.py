@@ -878,3 +878,106 @@ def banned_phrase_filter(
             (F.coalesce("n_hits", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment
+    (the dataloader contract: every epoch re-shuffles the corpus the
+    same way on every engine, resumable mid-epoch).
+
+    Order key = md5(seed:id); shard = first-8-hex of the key mod
+    n_shards (so shards are hash-balanced); pos = rank within the
+    shard by (key, id). Changing ``seed`` ("epoch1", ...) yields an
+    independent permutation; nothing depends on partitioning or row
+    order, so (shard, pos) is bit-identical across engines and
+    replays — a training run can resume from (shard, pos) exactly.
+
+    Plan: one projection + ONE keyed window over n_shards
+    hash-balanced partitions (each ~|corpus|/n_shards rows — the
+    window never sees a skewed partition). At 10^10 docs pick
+    n_shards large enough that a shard fits a task (e.g. 2^16).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            key.alias("_k"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def upsample_repeat(
+    docs: DataFrame,
+    weights: dict[str, tuple[int, int]],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeat-factor domain mixing: domain d appears ``num/den`` epochs
+    in the training mix (the "2.5 epochs of wiki, 1 epoch of CC"
+    recipe). Every doc gets ``num // den`` whole copies; the
+    fractional remainder picks the extra copy deterministically —
+    doc gets one more iff md5-hash(id) mod den < num mod den, so
+    exactly the right fraction of each domain repeats, stable under
+    corpus growth, partitioning, and engine. Domains not listed
+    default to one epoch (one copy).
+
+    Output: one row per (doc_id, domain, copy 0..n-1). Integer-exact
+    end to end; the only shuffle-free explode emits at most
+    ceil(num/den) rows per doc.
+    """
+    for d, (num, den) in weights.items():
+        if den <= 0 or num < 0:
+            raise ValueError(f"weights[{d!r}] must be num>=0, den>0")
+    base = F.lit(1)
+    rem = F.lit(0)
+    den_c = F.lit(1)
+    for d, (num, den) in sorted(weights.items()):
+        cond = F.col(domain_col) == F.lit(d)
+        base = F.when(cond, F.lit(num // den)).otherwise(base)
+        rem = F.when(cond, F.lit(num % den)).otherwise(rem)
+        den_c = F.when(cond, F.lit(den)).otherwise(den_c)
+    hmod = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("up:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        den_c,
+    )
+    n_copies = (base + (hmod < rem).cast("int")).alias("_n")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(domain_col).alias("domain"),
+            n_copies,
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            "domain",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy"),
+        )
+    )
