@@ -2137,6 +2137,112 @@ ORDER BY g.doc_id
 """
 
 
+def q_multimodal_video_features(spark, sf_dir):
+    """Multimodal VIDEO with a REAL decode — the triad's third leg
+    (PNG image, WAV audio, AVI video): most docs carry a deterministic
+    synthetic uncompressed-BGR24 AVI (geometry, frame count, and pixel
+    bytes derived from doc_id; the fixture encoder inserts an odd-sized
+    JUNK chunk so the parser's chunk-skip + pad-byte path runs), every
+    7th a truncated AVI (kind='corrupt'), every 5th opaque text bytes.
+    The engine walks the nested RIFF lists, validates geometry three
+    ways, strips DIB stride padding and un-flips bottom-up rows, and
+    samples every 2nd frame INSIDE the kernel (functions/avi.py via
+    Arrow-batched mapInPandas); the DuckDB oracle recomputes the
+    sampled-frame pixel sum/min/max ANALYTICALLY from doc_id — a wrong
+    stride, flip, frame order, or sample phase is a hash mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from clinvar_ingest_spark.functions.avi import encode_avi
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_video_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 5 == 4:
+                    payloads.append((text or "").encode("utf-8"))
+                    continue
+                w = 2 + did % 3
+                h = 2 + did % 2
+                nf = 3 + did % 5
+                frames = []
+                for f in range(nf):
+                    i = np.arange(w * h * 3, dtype=np.int64)
+                    frames.append(
+                        ((did * 13 + f * 31 + i * 7) % 256)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                avi = encode_avi(w, h, 40_000, frames)
+                payloads.append(avi[:20] if did % 7 == 3 else avi)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    gen = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    feats = extract_video_features(gen, sample_every=2)
+    opaque = F.col("kind") == "opaque"
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.when(opaque, F.col("n_bytes")).alias("n_bytes"),
+        "width",
+        "height",
+        "n_frames",
+        "n_sampled",
+        "p_sum",
+        "p_min",
+        "p_max",
+    ).orderBy("doc_id")
+
+
+_SQL_MULTIMODAL_VIDEO = """
+WITH geom AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 4 THEN 'opaque'
+              WHEN doc_id % 7 = 3 THEN 'corrupt'
+              ELSE 'avi' END AS kind,
+         2 + doc_id % 3 AS w,
+         2 + doc_id % 2 AS h,
+         3 + doc_id % 5 AS nf
+  FROM documents
+),
+fr AS (
+  SELECT g.doc_id, g.w, g.h,
+         unnest(range(0, g.nf)) AS f
+  FROM geom g WHERE g.kind = 'avi'
+),
+px AS (
+  SELECT doc_id, f,
+         unnest(range(0, w * h * 3)) AS i
+  FROM fr WHERE f % 2 = 0
+),
+stats AS (
+  SELECT doc_id,
+         CAST(sum((doc_id*13 + f*31 + i*7) % 256) AS BIGINT) AS p_sum,
+         CAST(min((doc_id*13 + f*31 + i*7) % 256) AS INTEGER) AS p_min,
+         CAST(max((doc_id*13 + f*31 + i*7) % 256) AS INTEGER) AS p_max
+  FROM px
+  GROUP BY doc_id
+)
+SELECT g.doc_id, g.kind,
+       CASE WHEN g.kind = 'opaque' THEN length(g.text) END AS n_bytes,
+       CASE WHEN g.kind = 'avi' THEN g.w END AS width,
+       CASE WHEN g.kind = 'avi' THEN g.h END AS height,
+       CASE WHEN g.kind = 'avi' THEN g.nf END AS n_frames,
+       CASE WHEN g.kind = 'avi' THEN (g.nf + 1) // 2 END AS n_sampled,
+       s.p_sum, s.p_min, s.p_max
+FROM geom g LEFT JOIN stats s USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
 def q_running_total(spark, sf_dir):
     """Cumulative window agg per key (ordered running state — the
     batch analog of the streaming progress counters, utils.py:99-122)."""
@@ -6397,6 +6503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_range_scan": q_cdc_range_scan,
         "epoch_shuffle_shards": q_epoch_shuffle_shards,
         "upsample_mixture": q_upsample_mixture,
+        "multimodal_video_features": q_multimodal_video_features,
     }
 
 
@@ -6435,6 +6542,7 @@ FROM (
         "cdc_range_scan": _SQL_CDC_RANGE_SCAN,
         "epoch_shuffle_shards": _SQL_EPOCH_SHUFFLE,
         "upsample_mixture": _SQL_UPSAMPLE,
+        "multimodal_video_features": _SQL_MULTIMODAL_VIDEO,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

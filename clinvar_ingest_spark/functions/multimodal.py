@@ -15,9 +15,13 @@ must not kill the partition.
 Audio gets the same treatment: RIFF/WAVE PCM payloads are REALLY parsed
 (:mod:`clinvar_ingest_spark.functions.wav` — chunk walk, geometry
 validation, exact integer sample stats) via :func:`decode_audio` /
-:func:`extract_audio_features`. Formats needing codecs absent from this
-sandbox (JPEG, compressed audio, video frame sampling) would slot into
-the same sniff-and-dispatch, keeping schema/partitioning unchanged.
+:func:`extract_audio_features`. Video completes the triad: uncompressed
+BGR24 AVI payloads are REALLY parsed (:mod:`functions.avi` — nested
+RIFF lists, stride/flip handling, frame sampling) via
+:func:`decode_video` / :func:`extract_video_features`. Formats needing
+codecs absent from this sandbox (JPEG, compressed audio/video) would
+slot into the same sniff-and-dispatch, keeping schema/partitioning
+unchanged.
 """
 
 from __future__ import annotations
@@ -166,6 +170,97 @@ def extract_audio_features(
             yield out
 
     return df.mapInPandas(_extract, schema=AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("p_sum", T.LongType()),
+        T.StructField("p_min", T.IntegerType()),
+        T.StructField("p_max", T.IntegerType()),
+    ]
+)
+
+
+def decode_video(payload: bytes, sample_every: int = 1) -> dict:
+    """Sniff-and-dispatch video decode for one payload: RIFF/AVI magic
+    → real uncompressed-DIB parse (functions/avi.py) with frame
+    sampling (every k-th frame only — unsampled frames are never
+    copied out of the payload) and exact integer pixel stats over the
+    sampled frames; anything else → ``kind='opaque'``; an AVI-looking
+    payload that fails to parse → ``kind='corrupt'``. Same contract as
+    the image and audio paths."""
+    from clinvar_ingest_spark.functions.avi import AviError, decode_avi
+
+    base = {
+        "kind": "opaque",
+        "n_bytes": len(payload),
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "n_sampled": None,
+        "p_sum": None,
+        "p_min": None,
+        "p_max": None,
+    }
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return base
+    try:
+        meta = decode_avi(payload, sample_every=sample_every)
+    except AviError:
+        base["kind"] = "corrupt"
+        return base
+    import numpy as np
+
+    frames = meta.pop("frames")
+    px = (
+        np.frombuffer(b"".join(frames), dtype=np.uint8)
+        if frames
+        else np.empty(0, dtype=np.uint8)
+    )
+    base.update(
+        {
+            "kind": "avi",
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": meta["n_frames"],
+            "n_sampled": len(frames),
+            "p_sum": int(px.sum(dtype=np.int64)) if px.size else None,
+            "p_min": int(px.min()) if px.size else None,
+            "p_max": int(px.max()) if px.size else None,
+        }
+    )
+    return base
+
+
+def extract_video_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_every: int = 1,
+) -> DataFrame:
+    """Arrow-batched mapInPandas video feature extraction with frame
+    sampling — the video leg of the multimodal triad (PNG image, WAV
+    audio, AVI video: all REAL decodes), fixed VIDEO_SCHEMA output."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_SCHEMA.fields if f.name != "doc_id"]
+        for pdf in batches:
+            feats = [
+                decode_video(p, sample_every=sample_every)
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_extract, schema=VIDEO_SCHEMA)
 
 
 def extract_media_features(

@@ -216,3 +216,104 @@ def test_decode_audio_dispatch(spark):
         extract_audio_features(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_avi_roundtrip_sampling_and_stats():
+    """Encode→decode round-trips logical frames exactly (stride padding
+    stripped, bottom-up rows un-flipped); frame sampling returns every
+    k-th frame; the JUNK chunk exercises chunk skipping."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.avi import decode_avi, encode_avi
+
+    w, h, nf = 5, 4, 7  # width 5 → row 15, stride 16: real padding
+    frames = [
+        ((np.arange(w * h * 3, dtype=np.int64) * 13 + f * 31) % 256)
+        .astype(np.uint8)
+        .tobytes()
+        for f in range(nf)
+    ]
+    avi = encode_avi(w, h, 40_000, frames)
+    got = decode_avi(avi)
+    assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
+    assert got["us_per_frame"] == 40_000
+    assert got["frames"] == frames  # byte-exact logical round-trip
+    sampled = decode_avi(avi, sample_every=3)
+    assert sampled["n_frames"] == nf
+    assert sampled["frames"] == [frames[0], frames[3], frames[6]]
+
+
+def test_avi_rejects_malformed_input():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from clinvar_ingest_spark.functions.avi import AviError, decode_avi, encode_avi
+
+    w, h = 3, 2
+    f = np.zeros(w * h * 3, dtype=np.uint8).tobytes()
+    good = bytearray(encode_avi(w, h, 40_000, [f, f]))
+    with pytest.raises(AviError):
+        decode_avi(bytes(good[:40]))  # truncated
+    with pytest.raises(AviError):
+        decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # wrong form
+    bad_count = bytearray(good)
+    # corrupt avih total_frames (offset: find 'avih' tag body + 16)
+    i = bytes(good).index(b"avih") + 8 + 16
+    bad_count[i : i + 4] = struct.pack("<I", 9)
+    with pytest.raises(AviError):
+        decode_avi(bytes(bad_count))  # movi count contradicts avih
+    bad_bpp = bytearray(good)
+    i = bytes(good).index(b"strf") + 8 + 14
+    bad_bpp[i : i + 2] = struct.pack("<H", 8)
+    with pytest.raises(AviError):
+        decode_avi(bytes(bad_bpp))  # non-24bpp
+    with pytest.raises(AviError):
+        encode_avi(w, h, 40_000, [f[:-1]])  # short frame
+
+
+def test_decode_video_dispatch_and_extract(spark):
+    """Sniff-and-dispatch + Arrow-batched extraction end-to-end: real
+    AVI rows get true geometry and exact sampled-pixel stats, opaque
+    rows byte features, corrupt rows degrade without killing the
+    partition."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.avi import encode_avi
+    from clinvar_ingest_spark.functions.multimodal import (
+        decode_video,
+        extract_video_features,
+    )
+
+    w, h, nf = 2, 2, 5
+    frames = [
+        ((np.arange(w * h * 3, dtype=np.int64) * 7 + f) % 256)
+        .astype(np.uint8)
+        .tobytes()
+        for f in range(nf)
+    ]
+    avi = encode_avi(w, h, 33_333, frames)
+    sampled = b"".join(frames[0::2])
+    want_sum = sum(sampled)
+    rows = [
+        (1, avi),
+        (2, b"not a video"),
+        (3, avi[:30]),  # AVI magic but truncated → corrupt
+    ]
+    d = decode_video(avi, sample_every=2)
+    assert (d["kind"], d["n_frames"], d["n_sampled"]) == ("avi", nf, 3)
+    assert d["p_sum"] == want_sum
+    assert d["p_min"] == min(sampled) and d["p_max"] == max(sampled)
+    assert decode_video(b"xx")["kind"] == "opaque"
+    assert decode_video(avi[:30])["kind"] == "corrupt"
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_video_features(df, sample_every=2).collect()
+    }
+    assert got[1]["kind"] == "avi" and got[1]["p_sum"] == want_sum
+    assert got[1]["width"] == w and got[1]["n_sampled"] == 3
+    assert got[2]["kind"] == "opaque" and got[2]["n_bytes"] == 11
+    assert got[3]["kind"] == "corrupt"
