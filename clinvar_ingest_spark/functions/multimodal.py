@@ -108,6 +108,101 @@ def decode_media(payload: bytes) -> dict:
     return base
 
 
+def resize_nearest(img: dict, out_w: int, out_h: int) -> dict:
+    """Nearest-neighbor resize of a decoded image (the ``decode_png``
+    dict shape): output pixel (y2, x2) samples source pixel
+    (y2*h // out_h, x2*w // out_w) — pure integer index math, so the
+    resized pixels are bit-identical across engines (no interpolation
+    rounding). Vectorized as two numpy index gathers."""
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("non-positive resize geometry")
+    w, h, c = img["width"], img["height"], img["channels"]
+    px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, c)
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = px[rows][:, cols]
+    return {
+        "width": out_w,
+        "height": out_h,
+        "channels": c,
+        "pixels": out.tobytes(),
+    }
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def extract_resized_features(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """decode → nearest-neighbor resize → exact integer pixel stats,
+    all inside one Arrow-batched mapInPandas pass (the brief's
+    'resize' verb: thumbnails / fixed-size model inputs at corpus
+    scale). Non-PNG payloads report kind='opaque', unparseable PNGs
+    kind='corrupt' — same poison-payload contract as every other
+    multimodal path."""
+    import numpy as np
+
+    def _one(payload: bytes) -> dict:
+        base = {
+            "kind": "opaque",
+            "width": None,
+            "height": None,
+            "channels": None,
+            "px_sum": None,
+            "px_min": None,
+            "px_max": None,
+        }
+        if payload[:8] != _PNG_MAGIC:
+            return base
+        try:
+            img = decode_png(payload)
+        except PngError:
+            base["kind"] = "corrupt"
+            return base
+        r = resize_nearest(img, out_w, out_h)
+        px = np.frombuffer(r["pixels"], dtype=np.uint8)
+        base.update(
+            {
+                "kind": "png",
+                "width": r["width"],
+                "height": r["height"],
+                "channels": r["channels"],
+                "px_sum": int(px.sum(dtype=np.int64)),
+                "px_min": int(px.min()) if px.size else None,
+                "px_max": int(px.max()) if px.size else None,
+            }
+        )
+        return base
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZE_SCHEMA.fields if f.name != "doc_id"]
+        for pdf in batches:
+            feats = [_one(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_extract, schema=RESIZE_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

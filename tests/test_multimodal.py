@@ -317,3 +317,55 @@ def test_decode_video_dispatch_and_extract(spark):
     assert got[1]["width"] == w and got[1]["n_sampled"] == 3
     assert got[2]["kind"] == "opaque" and got[2]["n_bytes"] == 11
     assert got[3]["kind"] == "corrupt"
+
+
+def test_resize_nearest_exact_sampling(spark):
+    """Nearest-neighbor resize is pure integer index math: output pixel
+    (y2, x2) must equal source pixel (y2*h//out_h, x2*w//out_w) for
+    every channel — checked against a hand-computed gather, then
+    end-to-end through extract_resized_features."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_resized_features,
+        resize_nearest,
+    )
+    from clinvar_ingest_spark.functions.png import encode_png
+
+    w, h, c = 5, 4, 3
+    px = ((np.arange(w * h * c, dtype=np.int64) * 11 + 3) % 256).astype(
+        np.uint8
+    )
+    img = {"width": w, "height": h, "channels": c, "pixels": px.tobytes()}
+    out_w, out_h = 3, 2
+    r = resize_nearest(img, out_w, out_h)
+    src = px.reshape(h, w, c)
+    want = np.stack(
+        [
+            np.stack(
+                [src[y2 * h // out_h, x2 * w // out_w] for x2 in range(out_w)]
+            )
+            for y2 in range(out_h)
+        ]
+    )
+    assert r["pixels"] == want.tobytes()
+    # upscale repeats pixels
+    up = resize_nearest(img, 10, 8)
+    assert (up["width"], up["height"]) == (10, 8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_nearest(img, 0, 2)
+
+    png = encode_png(w, h, px.tobytes(), c)
+    df = spark.createDataFrame(
+        [(1, png), (2, b"nope"), (3, png[:20])], "doc_id long, payload binary"
+    )
+    got = {
+        r2["doc_id"]: r2
+        for r2 in extract_resized_features(df, out_w, out_h).collect()
+    }
+    flat = want.reshape(-1).astype(np.int64)
+    assert got[1]["kind"] == "png" and got[1]["px_sum"] == int(flat.sum())
+    assert got[1]["px_min"] == int(flat.min())
+    assert got[2]["kind"] == "opaque" and got[3]["kind"] == "corrupt"
