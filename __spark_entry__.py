@@ -2243,6 +2243,91 @@ ORDER BY g.doc_id
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal image RESIZE — the decode→resize→featurize verb of
+    the brief's multimodal list: 3 of 4 docs carry the same
+    deterministic synthetic PNG as ``multimodal_features`` (all five
+    scanline filters exercised by the fixture encoder), every 9th a
+    truncated PNG (kind='corrupt'), the rest opaque text bytes. The
+    engine decodes, nearest-neighbor-resizes every image to a fixed
+    4x3 thumbnail (pure integer index sampling — output pixel (y2,x2)
+    is source pixel (y2*h//3, x2*w//4)), and emits exact integer pixel
+    stats of the RESIZED image, all inside one Arrow-batched
+    mapInPandas pass. The DuckDB oracle replays the same index math
+    analytically from doc_id — a wrong gather order, rounding mode, or
+    channel interleave is a hash mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_resized_features,
+    )
+    from clinvar_ingest_spark.functions.png import encode_png
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 4 == 3:
+                    payloads.append((text or "").encode("utf-8"))
+                    continue
+                w = did % 16 + 1
+                h = did % 8 + 1
+                c = 1 if did % 2 == 0 else 3
+                px = (
+                    (did * 31 + np.arange(w * h * c, dtype=np.int64))
+                    % 256
+                ).astype(np.uint8).tobytes()
+                png = encode_png(w, h, px, c)
+                payloads.append(png[:20] if did % 9 == 5 else png)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    gen = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    return extract_resized_features(gen, 4, 3).orderBy("doc_id")
+
+
+_SQL_MULTIMODAL_RESIZE = """
+WITH geom AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 3 THEN 'opaque'
+              WHEN doc_id % 9 = 5 THEN 'corrupt'
+              ELSE 'png' END AS kind,
+         doc_id % 16 + 1 AS w,
+         doc_id % 8 + 1 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+  FROM documents
+),
+cells AS (
+  SELECT g.doc_id,
+         ((ty.y2 * g.h) // 3 * g.w + (tx.x2 * g.w) // 4) * g.c + tc.ch
+           AS j
+  FROM geom g, range(0, 3) ty(y2), range(0, 4) tx(x2),
+       range(0, 3) tc(ch)
+  WHERE g.kind = 'png' AND tc.ch < g.c
+),
+stats AS (
+  SELECT doc_id,
+         CAST(sum((doc_id*31 + j) % 256) AS BIGINT) AS px_sum,
+         CAST(min((doc_id*31 + j) % 256) AS INTEGER) AS px_min,
+         CAST(max((doc_id*31 + j) % 256) AS INTEGER) AS px_max
+  FROM cells GROUP BY doc_id
+)
+SELECT g.doc_id, g.kind,
+       CAST(CASE WHEN g.kind = 'png' THEN 4 END AS INTEGER) AS width,
+       CAST(CASE WHEN g.kind = 'png' THEN 3 END AS INTEGER) AS height,
+       CAST(CASE WHEN g.kind = 'png' THEN g.c END AS INTEGER)
+         AS channels,
+       s.px_sum, s.px_min, s.px_max
+FROM geom g LEFT JOIN stats s USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
 def q_running_total(spark, sf_dir):
     """Cumulative window agg per key (ordered running state — the
     batch analog of the streaming progress counters, utils.py:99-122)."""
@@ -6504,6 +6589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_shards": q_epoch_shuffle_shards,
         "upsample_mixture": q_upsample_mixture,
         "multimodal_video_features": q_multimodal_video_features,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -6543,6 +6629,7 @@ FROM (
         "epoch_shuffle_shards": _SQL_EPOCH_SHUFFLE,
         "upsample_mixture": _SQL_UPSAMPLE,
         "multimodal_video_features": _SQL_MULTIMODAL_VIDEO,
+        "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,
