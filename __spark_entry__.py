@@ -2328,6 +2328,128 @@ ORDER BY g.doc_id
 """
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """Recall@5 of the IVF index (8 cells, 2 probes) against exact
+    brute-force cosine — the eval harness every approximate index
+    needs: same queries, same tie-breaks, |approx ∩ exact| per query in
+    exact basis points. Both top-k scans reuse the gates' own
+    strategies; the recall math itself is integer arithmetic over
+    |queries|·k rows, so the EVALUATION is value-hashable even though
+    it measures float-scored indexes."""
+    from clinvar_ingest_spark.operators.ann import (
+        ann_recall,
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, k=5)
+    approx = ivf_cosine_topk(e, q, k=5, n_cells=8, n_probe=2)
+    return ann_recall(exact, approx, k=5).orderBy("query_id")
+
+
+_SQL_ANN_RECALL = """
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.centroid)
+                      DESC, c.cell_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c
+    WHERE q.vec_id < 5
+  ) WHERE rn <= 2
+),
+ivf_pairs AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, a.embedding::DOUBLE[]), 4)
+           AS cos_sim
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC,
+                                          neighbor_id ASC) AS rank
+    FROM ivf_pairs
+  ) WHERE rank <= 5
+),
+ex_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 4)
+           AS cos_sim
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < 5
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC,
+                                          neighbor_id ASC) AS rank
+    FROM ex_pairs
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT i.query_id, count(*) AS n
+  FROM ivf i JOIN ex e ON e.query_id = i.query_id
+                      AND e.neighbor_id = i.neighbor_id
+  GROUP BY i.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(h.n, 0) * 10000) // 5 AS BIGINT) AS recall_bp
+FROM embeddings q LEFT JOIN hits h ON h.query_id = q.vec_id
+WHERE q.vec_id < 5 ORDER BY query_id
+"""
+
+
+def q_fuzzy_decontamination(spark, sf_dir):
+    """FUZZY decontamination audit: train docs (doc_id % 5 != 0)
+    near-duplicate to any eval doc (doc_id % 5 = 0) via the MinHash
+    band join — the paraphrase-robust complement of the exact 13-gram
+    `eval_decontamination` gate. Per contaminated train doc: match
+    count plus the strongest eval match (max Jaccard, ties to the
+    lowest eval id) — computed as ONE map-side-combinable max(struct)
+    aggregate, no window, so the shape survives a billion-doc train
+    side."""
+    from clinvar_ingest_spark.operators.similarity_dedup import (
+        cross_corpus_neardup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    ev = d.filter(F.col("doc_id") % 5 == 0)
+    pairs = cross_corpus_neardup(train, ev, threshold=0.2, band_prefix=4)
+    agg = pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max(
+            F.struct(F.col("jac"), (-F.col("eval_id")).alias("neg"))
+        ).alias("b"),
+    )
+    return agg.select(
+        "train_id",
+        F.col("n_matches").cast("long").alias("n_matches"),
+        (-F.col("b.neg")).cast("long").alias("best_eval_id"),
+        F.col("b.jac").alias("best_jac"),
+    ).orderBy("train_id")
+
+
 def q_running_total(spark, sf_dir):
     """Cumulative window agg per key (ordered running state — the
     batch analog of the streaming progress counters, utils.py:99-122)."""
@@ -3035,6 +3157,42 @@ WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 ORDER BY doc_a, doc_b
 """
 
+    fuzzy = sh_cte + f""",
+sig AS (SELECT doc_id, {mh_cols} FROM sh),
+bands AS ({bands_union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+),
+ver AS (
+  SELECT train_id, eval_id,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jac
+  FROM cands
+  JOIN sh sa ON sa.doc_id = train_id
+  JOIN sh sb ON sb.doc_id = eval_id
+  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.2
+),
+agg AS (
+  SELECT train_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM ver GROUP BY train_id
+),
+best AS (
+  SELECT train_id, eval_id AS best_eval_id, jac AS best_jac FROM (
+    SELECT *, row_number() OVER (PARTITION BY train_id
+                                 ORDER BY jac DESC, eval_id ASC) AS rn
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT a.train_id, a.n_matches,
+       CAST(b.best_eval_id AS BIGINT) AS best_eval_id, b.best_jac
+FROM agg a JOIN best b USING (train_id)
+ORDER BY a.train_id
+"""
+
     votes = " + ".join(
         f"(CASE WHEN list_aggregate(list_transform(toks, t -> CASE WHEN "
         f"(('0x' || substr(md5(t), 1, 4))::INTEGER & {1 << j}) > 0 THEN 1 ELSE -1 END),"
@@ -3226,6 +3384,7 @@ FROM r WHERE rn = 1 GROUP BY source ORDER BY source
         "minhash_signatures": minhash,
         "minhash_lsh_dedup": lsh,
         "minhash_lsh_capped": lsh_capped,
+        "fuzzy_decontamination": fuzzy,
         "near_dup_clusters": clusters,
         "leakage_safe_split": leakage,
         "simhash_buckets": simhash,
@@ -6590,6 +6749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_mixture": q_upsample_mixture,
         "multimodal_video_features": q_multimodal_video_features,
         "multimodal_resize": q_multimodal_resize,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "fuzzy_decontamination": q_fuzzy_decontamination,
     }
 
 
@@ -6630,6 +6791,7 @@ FROM (
         "upsample_mixture": _SQL_UPSAMPLE,
         "multimodal_video_features": _SQL_MULTIMODAL_VIDEO,
         "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
+        "ann_recall_ivf": _SQL_ANN_RECALL,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

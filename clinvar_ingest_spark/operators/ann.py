@@ -773,3 +773,45 @@ def ivf_pq_topk(
         F.round(cosine(F.col("qv"), recon), 4).alias("cos_sim"),
     ).distinct()
     return _ranked(pairs, k)
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int
+) -> DataFrame:
+    """Recall@k of an ANN strategy against the exact brute-force
+    baseline — the standard quality dial for every approximate index
+    here (IVF probe count, PQ codebook size, LSH bucket width trade
+    recall for scan fraction; this operator measures what a setting
+    actually buys).
+
+    Both inputs are top-k result tables in this module's common shape
+    ``(query_id, neighbor_id, cos_sim, rank)`` (any extra columns are
+    ignored). Per query: ``n_hits`` = |approx ∩ exact| on neighbor_id,
+    ``recall_bp`` = basis points of k recovered, exact integer
+    arithmetic (``n_hits * 10000 div k``) so the evaluation itself is
+    engine-portable and value-hashable. Queries the approximate index
+    returned nothing for still appear (n_hits 0): the anchor is the
+    exact side's query set.
+
+    Scale: one semi join on (query_id, neighbor_id) — both sides are
+    |queries|·k rows, NOT corpus-sized (the expensive part already
+    happened inside the two top-k scans) — plus one map-side-combinable
+    count. At a million queries this is a pair of small keyed shuffles;
+    nothing touches the corpus or the raw vectors."""
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    anchor = exact.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return anchor.join(per_q, "query_id", "left").select(
+        "query_id",
+        n.cast("long").alias("n_hits"),
+        F.expr(
+            f"CAST((coalesce(n_hits, 0) * 10000) DIV {int(k)} AS BIGINT)"
+        ).alias("recall_bp"),
+    )

@@ -257,3 +257,72 @@ def semantic_dedup(
             F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def cross_corpus_neardup(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_prefix: int = 4,
+    max_bucket: int | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """FUZZY decontamination pairs: training documents near-duplicate
+    to any held-out evaluation document. The exact-n-gram
+    decontamination gate (curation.eval_decontamination) misses
+    paraphrased or lightly-edited leaks; this is the MinHash version —
+    the two are complementary, run both before a training cut.
+
+    Same shingle → minhash → band machinery as within-corpus dedup,
+    but the band join is TRAIN × EVAL instead of a self-join, and the
+    eval side of a decontamination run is small by definition
+    (benchmarks, not corpora) — ``broadcast_eval=True`` pins it
+    map-side so the train band table is never shuffled at all. Each
+    candidate pair is verified by exact shingle Jaccard ≥ threshold
+    (rounded to 4, the module's portability contract).
+
+    ``max_bucket`` drops degenerate train-side band buckets (shared
+    boilerplate) before the join, same rationale as
+    :func:`minhash_lsh_candidates`.
+
+    Returns verified (train_id, eval_id, jac) pairs. Feed them to an
+    anti join to cut the corpus, or aggregate per train_id for an
+    audit table (see the fuzzy_decontamination query gate)."""
+    tb = doc_bands(train, id_col, text_col, band_prefix).withColumnRenamed(
+        id_col, "train_id"
+    )
+    if max_bucket is not None:
+        ok = (
+            tb.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_id", "band_val")
+        )
+        tb = tb.join(ok, ["band_id", "band_val"], "left_semi")
+    eb = doc_bands(
+        eval_docs, id_col, text_col, band_prefix
+    ).withColumnRenamed(id_col, "eval_id")
+    if broadcast_eval:
+        eb = F.broadcast(eb)
+    cands = (
+        tb.join(eb, ["band_id", "band_val"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    sh_t = doc_shingles(train, id_col, text_col).select(
+        F.col(id_col).alias("train_id"), F.col("sh").alias("sh_t")
+    )
+    sh_e = doc_shingles(eval_docs, id_col, text_col).select(
+        F.col(id_col).alias("eval_id"), F.col("sh").alias("sh_e")
+    )
+    if broadcast_eval:
+        sh_e = F.broadcast(sh_e)
+    return (
+        cands.join(sh_t, "train_id")
+        .join(sh_e, "eval_id")
+        .withColumn("jac", F.round(jaccard(F.col("sh_t"), F.col("sh_e")), 4))
+        .filter(F.col("jac") >= threshold)
+        .select("train_id", "eval_id", "jac")
+    )

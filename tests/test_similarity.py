@@ -450,3 +450,90 @@ def test_semantic_dedup_chains_and_cells(spark):
     assert out[3].cell_id == out[1].cell_id == 1
     assert out[5].cell_id == out[2].cell_id == 2
     assert out[6].cell_id == 2
+
+
+def test_ann_recall_counts_and_anchor(spark):
+    """Recall@k: hits counted on (query_id, neighbor_id); queries the
+    approximate index missed entirely still appear with n_hits 0; the
+    basis-point math is exact integer division."""
+    from clinvar_ingest_spark.operators.ann import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, n) for n in (10, 11, 12)]
+        + [(2, n) for n in (20, 21, 22)]
+        + [(3, n) for n in (30, 31, 32)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2 of 3 right; q2: 1 of 3; q3: absent from approx output
+        [(1, 10), (1, 11), (1, 99), (2, 22), (2, 98), (2, 97)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_bp"])
+        for r in ann_recall(exact, approx, k=3).collect()
+    }
+    assert got == {1: (2, 6666), 2: (1, 3333), 3: (0, 0)}
+
+
+def test_cross_corpus_neardup_flags_only_cross_pairs(spark):
+    """The band join is train x eval: a near-dup pair WITHIN train is
+    never flagged; a train doc near-identical to an eval doc is, with
+    the exact shingle Jaccard."""
+    from clinvar_ingest_spark.operators.similarity_dedup import (
+        cross_corpus_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, base),                      # leaks eval doc 100
+            (2, base + " extra"),           # near-dup of doc 1 (in-train)
+            (3, "completely different words about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, base), (101, "unrelated evaluation benchmark prompt")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["train_id"], r["eval_id"]): r["jac"]
+        for r in cross_corpus_neardup(train, ev, threshold=0.2).collect()
+    }
+    assert (1, 100) in pairs and pairs[(1, 100)] == 1.0
+    assert (2, 100) in pairs and 0.2 <= pairs[(2, 100)] < 1.0
+    assert all(t != 3 for t, _ in pairs)
+    assert all(e != 101 for _, e in pairs)
+
+
+def test_cross_corpus_neardup_bucket_cap_and_threshold(spark):
+    """max_bucket drops degenerate train-side buckets before the join;
+    a high threshold filters verified candidates."""
+    from clinvar_ingest_spark.operators.similarity_dedup import (
+        cross_corpus_neardup,
+    )
+
+    boiler = "copyright footer terms of service apply to this page"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, boiler)], "doc_id long, text string"
+    )
+    full = cross_corpus_neardup(train, ev, threshold=0.2).count()
+    assert full == 6
+    capped = cross_corpus_neardup(
+        train, ev, threshold=0.2, max_bucket=3
+    ).count()
+    assert capped == 0
+    strict = cross_corpus_neardup(
+        spark.createDataFrame(
+            [(1, boiler + " extra words beyond")],
+            "doc_id long, text string",
+        ),
+        ev,
+        threshold=0.99,
+    ).count()
+    assert strict == 0
