@@ -124,6 +124,26 @@ def test_decontamination_broadcasts_eval_set(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_fuzzy_decontamination_broadcasts_eval_bands(spark):
+    """Cross-corpus MinHash: both eval-side tables (bands and shingle
+    sets) must broadcast — the train corpus's band table is never
+    shuffled for candidate generation, and the verification join's
+    corpus side stays map-side too."""
+    from clinvar_ingest_spark.operators.similarity_dedup import (
+        cross_corpus_neardup,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = cross_corpus_neardup(
+        d.filter("doc_id % 5 != 0"), d.filter("doc_id % 5 == 0")
+    )
+    plan = executed_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_pack_sequences_single_shuffle(spark):
     """Greedy packing = ONE keyed shuffle (the shard groupBy); the fold
     itself is a codegen'd higher-order aggregate, no Python, no window."""
