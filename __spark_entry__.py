@@ -2328,6 +2328,88 @@ ORDER BY g.doc_id
 """
 
 
+def q_stream_exact_dedup(spark, sf_dir):
+    """Streaming exact dedup at ingest (dropDuplicatesWithinWatermark
+    over an xxhash64 content fingerprint — the engine's own stateful
+    dedup with watermark state GC, not a custom processor): 50 distinct
+    payloads recycled across the whole events table are streamed in 3
+    pinned micro-batches; exactly the FIRST event per payload (batch
+    order, then in-batch (warc_ts, seq) order — file order is sorted
+    and single-partition, so 'first' is deterministic) survives. The
+    oracle replays the same first-wins rule as a window over
+    (batch, warc_ts, seq)."""
+    import os as _os
+    import tempfile as _tmp
+
+    from clinvar_ingest_spark.streaming.dedup import stream_exact_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("seq"),
+        F.col("ts").alias("warc_ts"),
+        F.concat(
+            F.lit("payload-"), (F.col("event_id") % 50).cast("string")
+        ).alias("content"),
+        (F.col("event_id") % 3).cast("int").alias("b"),
+    )
+    root = _tmp.mkdtemp(prefix="sdedup_gate_")
+    log_dir = _os.path.join(root, "log")
+    for i in range(3):
+        p = _os.path.join(log_dir, f"b{i}.parquet")
+        (
+            log.filter(F.col("b") == i)
+            .drop("b")
+            .repartition(1)
+            .sortWithinPartitions("warc_ts", "seq")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        for dirpath, _d, fs in _os.walk(p):
+            for fname in fs:
+                _os.utime(_os.path.join(dirpath, fname), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(
+            "seq long, warc_ts timestamp, content string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir + "/*")
+    )
+    out_dir = _os.path.join(root, "out")
+    q = (
+        stream_exact_dedup(
+            stream, fingerprint_cols=("content",), watermark="365 days"
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", _os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select("seq", "warc_ts", "content")
+        .orderBy("content")
+    )
+
+
+_SQL_STREAM_DEDUP = """
+WITH log AS (
+  SELECT event_id AS seq, ts AS warc_ts,
+         'payload-' || CAST(event_id % 50 AS VARCHAR) AS content,
+         event_id % 3 AS b
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY content
+                               ORDER BY b, warc_ts, seq) AS rn
+  FROM log
+)
+SELECT seq, warc_ts, content FROM r WHERE rn = 1 ORDER BY content
+"""
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """Recall@5 of the IVF index (8 cells, 2 probes) against exact
     brute-force cosine — the eval harness every approximate index
@@ -6751,6 +6833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "ann_recall_ivf": q_ann_recall_ivf,
         "fuzzy_decontamination": q_fuzzy_decontamination,
+        "stream_exact_dedup": q_stream_exact_dedup,
     }
 
 
@@ -6792,6 +6875,7 @@ FROM (
         "multimodal_video_features": _SQL_MULTIMODAL_VIDEO,
         "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
         "ann_recall_ivf": _SQL_ANN_RECALL,
+        "stream_exact_dedup": _SQL_STREAM_DEDUP,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,
