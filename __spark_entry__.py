@@ -2328,6 +2328,43 @@ ORDER BY g.doc_id
 """
 
 
+def q_domain_token_cap(spark, sf_dir):
+    """Per-domain token budget cap (FineWeb-style domination control):
+    within each source, docs ranked (token count DESC, id ASC) are
+    kept while the inclusive running token total stays <= 800. The
+    engine computes the running sum SKEW-SAFELY (cumulative mass over
+    aggregated (domain, score) groups + an in-tie-group running sum —
+    never a whole domain in one window partition); the oracle replays
+    the NAIVE single-window semantics, so the MATCH proves the
+    decomposition exact."""
+    from clinvar_ingest_spark.operators.curation import domain_token_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return domain_token_cap(d, 800, domain_col="source").orderBy(
+        "source", "doc_id"
+    )
+
+
+_SQL_DOMAIN_CAP = r"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_tok,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY n_tok DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM base
+)
+SELECT source, doc_id, n_tok, cum_tokens, cum_tokens <= 800 AS keep
+FROM r ORDER BY source, doc_id
+"""
+
+
 def q_stream_exact_dedup(spark, sf_dir):
     """Streaming exact dedup at ingest (dropDuplicatesWithinWatermark
     over an xxhash64 content fingerprint — the engine's own stateful
@@ -6834,6 +6871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf": q_ann_recall_ivf,
         "fuzzy_decontamination": q_fuzzy_decontamination,
         "stream_exact_dedup": q_stream_exact_dedup,
+        "domain_token_cap": q_domain_token_cap,
     }
 
 
@@ -6876,6 +6914,7 @@ FROM (
         "multimodal_resize": _SQL_MULTIMODAL_RESIZE,
         "ann_recall_ivf": _SQL_ANN_RECALL,
         "stream_exact_dedup": _SQL_STREAM_DEDUP,
+        "domain_token_cap": _SQL_DOMAIN_CAP,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

@@ -981,3 +981,64 @@ def upsample_repeat(
             F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy"),
         )
     )
+
+
+def domain_token_cap(
+    docs: DataFrame,
+    budget: int,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain token budget cap (the FineWeb/RefinedWeb domination
+    control): within each domain, documents are ranked best-first and
+    kept while the RUNNING token total stays within ``budget`` — so no
+    single host can contribute more than its cap to the training mix,
+    however many pages it has.
+
+    Ranking is (token count DESC, id ASC): prefer substantive pages,
+    deterministic ties. The verdict is exact integer arithmetic —
+    ``keep = cum_tokens <= budget`` with cum_tokens the inclusive
+    running sum in rank order — so the whole audit table value-hashes.
+
+    Scale: a naive ``sum() over (partition by domain order by ...)``
+    puts every page of a mega-host into ONE window partition. Instead
+    the running sum decomposes exactly like ccnet_ppl_buckets' rank:
+    (a) cumulative token mass of strictly-better (domain, score)
+    GROUPS — a window over the aggregated group table, sized by
+    distinct scores per domain — plus (b) an inclusive running sum
+    WITHIN the tie group ordered by id. The widest window partition
+    shrinks from |domain| to |largest tie group|, and the group
+    aggregate is map-side combinable.
+
+    Returns (domain, id, n_tok, cum_tokens, keep) — the audit table;
+    filter ``keep`` for the capped corpus."""
+    from clinvar_ingest_spark.functions.text import token_count
+
+    base = docs.select(
+        F.col(domain_col).alias("_dom"),
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+    )
+    grp = base.groupBy("_dom", "n_tok").agg(
+        F.sum("n_tok").alias("_g_tok")
+    )
+    w_cum = Window.partitionBy("_dom").orderBy(F.col("n_tok").desc())
+    grp = grp.withColumn(
+        "_cum_before", F.sum("_g_tok").over(w_cum) - F.col("_g_tok")
+    ).drop("_g_tok")
+    w_tie = (
+        Window.partitionBy("_dom", "n_tok")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.join(grp, ["_dom", "n_tok"]).withColumn(
+        "cum_tokens", F.col("_cum_before") + F.sum("n_tok").over(w_tie)
+    )
+    return out.select(
+        F.col("_dom").alias(domain_col),
+        F.col(id_col),
+        "n_tok",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        (F.col("cum_tokens") <= F.lit(int(budget))).alias("keep"),
+    )

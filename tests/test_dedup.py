@@ -737,3 +737,46 @@ def test_dsir_importance_weights_exact(spark):
     assert got[2][1] > got[3][1] and got[4] == (0, 0)
     # the bounded-by-construction model side broadcasts
     assert "BroadcastHashJoin" in out._jdf.queryExecution().toString()
+
+
+def test_domain_token_cap_exact_boundary_and_ties(spark):
+    """Per-domain budget: inclusive running sum in (n_tok DESC, id ASC)
+    order; a doc landing exactly ON the budget is kept, the next one
+    is cut; domains are independent; ties rank by id."""
+    from pyspark.sql import functions as F
+
+    from clinvar_ingest_spark.operators.curation import domain_token_cap
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        # domain a: 5 + 3 + 3 tokens; budget 8 keeps the 5 and the
+        # FIRST 3-token doc (id order), cuts the second
+        (1, "a", words(5)),
+        (2, "a", words(3)),
+        (3, "a", words(3)),
+        # domain b: one doc over budget alone
+        (4, "b", words(9)),
+        (5, "b", words(2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["keep"])
+        for r in domain_token_cap(
+            df, 8, domain_col="dom"
+        ).collect()
+    }
+    assert got[1] == (5, True)
+    assert got[2] == (8, True)   # exactly on budget -> kept
+    assert got[3] == (11, False)
+    assert got[4] == (9, False)  # biggest doc alone can bust the cap
+    assert got[5] == (11, False)
+    # partition invariance: same verdicts at hostile partitioning
+    got2 = {
+        r["doc_id"]: (r["cum_tokens"], r["keep"])
+        for r in domain_token_cap(
+            df.repartition(7, F.col("doc_id")), 8, domain_col="dom"
+        ).collect()
+    }
+    assert got2 == got
