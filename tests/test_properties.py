@@ -173,3 +173,53 @@ def test_canonical_url_idempotent_and_stable(spark):
     ).select("c1", canonical_url(F.col("c1")).alias("c2")).collect()
     for r in out:
         assert r["c1"] == r["c2"], r
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),               # two domains
+            st.integers(min_value=0, max_value=9),     # token counts w/ ties
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    budget=st.integers(min_value=0, max_value=25),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_domain_token_cap_matches_greedy_reference(spark, docs, budget):
+    """Property: the skew-safe running-sum decomposition equals the
+    brute-force greedy model — per domain, take docs in (n_tok DESC,
+    id ASC) order while the inclusive total stays <= budget; kept
+    token mass per domain never exceeds the budget."""
+    from clinvar_ingest_spark.operators.curation import domain_token_cap
+
+    rows = [
+        (i, dom, " ".join(f"w{j}" for j in range(n)) if n else "")
+        for i, (dom, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["cum_tokens"], r["keep"])
+        for r in domain_token_cap(df, budget, domain_col="dom").collect()
+    }
+    # python model: whitespace-split of "" is [""] -> 1 token, matching
+    # the engine's split-of-trimmed contract
+    toks = {i: max(n, 1) for i, (_d, n) in enumerate(docs)}
+    by_dom: dict = {}
+    for i, (dom, _n) in enumerate(docs):
+        by_dom.setdefault(dom, []).append(i)
+    want = {}
+    for dom, ids in by_dom.items():
+        running = 0
+        for i in sorted(ids, key=lambda i: (-toks[i], i)):
+            running += toks[i]
+            want[i] = (toks[i], running, running <= budget)
+    assert got == want
+    for dom, ids in by_dom.items():
+        kept = sum(toks[i] for i in ids if got[i][2])
+        assert kept <= budget
