@@ -1011,32 +1011,48 @@ def domain_token_cap(
     shrinks from |domain| to |largest tie group|, and the group
     aggregate is map-side combinable.
 
+    NULL handling: a NULL domain is a real group of its own (pages
+    with missing host metadata are capped together, not dropped), and
+    NULL text counts 0 tokens — every input row appears in the audit
+    table exactly once. Internally NULLs ride as an explicit
+    (coalesced value, is-null flag) key pair because Spark's
+    list-column equi-join is null-unsafe; the flag restores NULL at
+    the output.
+
     Returns (domain, id, n_tok, cum_tokens, keep) — the audit table;
     filter ``keep`` for the capped corpus."""
     from clinvar_ingest_spark.functions.text import token_count
 
     base = docs.select(
-        F.col(domain_col).alias("_dom"),
+        F.coalesce(F.col(domain_col), F.lit("")).alias("_dom"),
+        F.col(domain_col).isNull().alias("_dnull"),
         F.col(id_col),
-        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(token_count(F.col(text_col)))
+        .cast("long")
+        .alias("n_tok"),
     )
-    grp = base.groupBy("_dom", "n_tok").agg(
+    grp = base.groupBy("_dom", "_dnull", "n_tok").agg(
         F.sum("n_tok").alias("_g_tok")
     )
-    w_cum = Window.partitionBy("_dom").orderBy(F.col("n_tok").desc())
+    w_cum = Window.partitionBy("_dom", "_dnull").orderBy(
+        F.col("n_tok").desc()
+    )
     grp = grp.withColumn(
         "_cum_before", F.sum("_g_tok").over(w_cum) - F.col("_g_tok")
     ).drop("_g_tok")
     w_tie = (
-        Window.partitionBy("_dom", "n_tok")
+        Window.partitionBy("_dom", "_dnull", "n_tok")
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = base.join(grp, ["_dom", "n_tok"]).withColumn(
+    out = base.join(grp, ["_dom", "_dnull", "n_tok"]).withColumn(
         "cum_tokens", F.col("_cum_before") + F.sum("n_tok").over(w_tie)
     )
     return out.select(
-        F.col("_dom").alias(domain_col),
+        F.when(F.col("_dnull"), F.lit(None))
+        .otherwise(F.col("_dom"))
+        .alias(domain_col),
         F.col(id_col),
         "n_tok",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),

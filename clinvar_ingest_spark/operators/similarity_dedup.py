@@ -47,6 +47,20 @@ def doc_bands(
     )
 
 
+def _cap_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop degenerate band buckets (shared boilerplate shingles)
+    before any candidate join: buckets holding more than ``max_bucket``
+    docs carry no near-dup signal and make the join quadratic. One
+    map-side-combinable count + a semi join, both hash-partitioned."""
+    ok = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band_id", "band_val")
+    )
+    return bands.join(ok, ["band_id", "band_val"], "left_semi")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -71,13 +85,7 @@ def minhash_lsh_candidates(
     """
     bands = doc_bands(docs, id_col, text_col, band_prefix)
     if max_bucket is not None:
-        ok = (
-            bands.groupBy("band_id", "band_val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band_id", "band_val")
-        )
-        bands = bands.join(ok, ["band_id", "band_val"], "left_semi")
+        bands = _cap_buckets(bands, max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -294,13 +302,7 @@ def cross_corpus_neardup(
         id_col, "train_id"
     )
     if max_bucket is not None:
-        ok = (
-            tb.groupBy("band_id", "band_val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band_id", "band_val")
-        )
-        tb = tb.join(ok, ["band_id", "band_val"], "left_semi")
+        tb = _cap_buckets(tb, max_bucket)
     eb = doc_bands(
         eval_docs, id_col, text_col, band_prefix
     ).withColumnRenamed(id_col, "eval_id")

@@ -11,9 +11,9 @@ content fingerprint and the stream never ends).
 
 Spark-first: the operator is ``dropDuplicatesWithinWatermark`` — the
 engine's own stateful dedup with watermark-driven state GC — over an
-``xxhash64`` content fingerprint, NOT a custom StatefulProcessor.
-State per distinct fingerprint is one row bounded by the watermark
-horizon; nothing is collected, nothing is broadcast.
+``md5`` content fingerprint, NOT a custom StatefulProcessor. State
+per distinct fingerprint is one row bounded by the watermark horizon;
+nothing is collected, nothing is broadcast.
 
 Semantics: the FIRST event carrying a fingerprint passes; later
 copies arriving while the fingerprint is inside the watermark window
@@ -23,8 +23,15 @@ trade of bounded state, same as every watermarked operator. "First"
 is processing order: deterministic when batch membership and in-batch
 order are pinned (see the stream_exact_dedup query gate), and at
 production scale the policy is "keep one copy", where which copy wins
-is immaterial because the payloads are identical — the fingerprint
-INCLUDES the payload.
+is immaterial because the fingerprint covers the payload columns.
+
+The fingerprint is 128-bit (md5 over the unit-separator-joined
+columns), not a 64-bit hash: at 10^10 events birthday math on 64
+bits expects a handful of collisions — each one a DISTINCT page
+silently dropped — while 128 bits puts the expectation below 10^-18.
+Fingerprint equality is still hash equality, not byte equality; a
+caller needing absolute certainty should key on the raw columns and
+pay the state size.
 """
 
 from __future__ import annotations
@@ -41,10 +48,13 @@ def stream_exact_dedup(
 ) -> DataFrame:
     """First-wins exact dedup over a streaming DataFrame.
 
-    ``fingerprint_cols`` are hashed (xxhash64, JVM-side codegen) into
-    one state key; the watermark on ``ts_col`` bounds both late-data
-    acceptance and dedup-state lifetime. Output schema = input schema
-    (the fingerprint is internal).
+    ``fingerprint_cols`` are md5-hashed (128-bit, JVM-side codegen)
+    into one state key; NULL and empty-string column values hash
+    differently (each column rides as length-prefixed bytes). The
+    watermark on ``ts_col`` bounds both late-data acceptance and
+    dedup-state lifetime. Output schema = input schema (the
+    fingerprint column is internal, its name chosen to never collide
+    with an input column).
 
     Scale: state is one compact row per distinct fingerprint inside
     the watermark horizon, hash-partitioned by fingerprint across
@@ -53,10 +63,23 @@ def stream_exact_dedup(
     batch-side exact dedup on the stored table instead; unbounded
     streaming state is the anti-pattern this watermark exists to
     prevent."""
-    fp = F.xxhash64(*[F.col(c) for c in fingerprint_cols])
+    fp_name = "_fp"
+    while fp_name in events.columns:
+        fp_name = "_" + fp_name
+    parts: list = []
+    for c in fingerprint_cols:
+        s = F.col(c).cast("string")
+        # length prefix + null marker: ("ab","c") never equals
+        # ("a","bc"), and NULL never equals ""
+        parts.append(
+            F.when(s.isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    fp = F.md5(F.concat_ws("\x1f", *parts).cast("binary"))
     return (
-        events.withColumn("_fp", fp)
+        events.withColumn(fp_name, fp)
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_fp"])
-        .drop("_fp")
+        .dropDuplicatesWithinWatermark([fp_name])
+        .drop(fp_name)
     )

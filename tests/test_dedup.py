@@ -780,3 +780,28 @@ def test_domain_token_cap_exact_boundary_and_ties(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_domain_token_cap_null_domain_and_text(spark):
+    """NULL domain is a real group (capped together, never dropped);
+    NULL text counts 0 tokens — every input row appears exactly once
+    in the audit table."""
+    from clinvar_ingest_spark.operators.curation import domain_token_cap
+
+    rows = [
+        (1, None, "a b c"),
+        (2, None, "d e"),
+        (3, "x", None),
+        (4, "x", "p q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    got = {
+        r["doc_id"]: (r["dom"], r["n_tok"], r["cum_tokens"], r["keep"])
+        for r in domain_token_cap(df, 4, domain_col="dom").collect()
+    }
+    assert len(got) == 4
+    assert got[1] == (None, 3, 3, True)
+    assert got[2] == (None, 2, 5, False)
+    assert got[4] == ("x", 4, 4, True)
+    # null text: 0 tokens, ranked last, adds nothing to the total
+    assert got[3] == ("x", 0, 4, True)
