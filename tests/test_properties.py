@@ -223,3 +223,78 @@ def test_domain_token_cap_matches_greedy_reference(spark, docs, budget):
     for dom, ids in by_dom.items():
         kept = sum(toks[i] for i in ids if got[i][2])
         assert kept <= budget
+
+
+def _py_bands(text, band_prefix=4):
+    """Python twin of doc_bands: 3-shingles -> 4 md5 minhashes ->
+    banded hex prefixes."""
+    import hashlib
+
+    toks = text.split()
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    if not sh:
+        return set()
+    return {
+        (i, min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)[:band_prefix])
+        for i in range(4)
+    }
+
+
+def _py_jaccard(a, b):
+    ta, tb = a.split(), b.split()
+    sa = {" ".join(ta[i : i + 3]) for i in range(len(ta) - 2)}
+    sb = {" ".join(tb[i : i + 3]) for i in range(len(tb) - 2)}
+    u = sa | sb
+    return round(len(sa & sb) / len(u), 4) if u else 0.0
+
+
+@given(
+    train=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    evals=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cross_corpus_neardup_matches_python_model(spark, train, evals):
+    """Property: flagged pairs == python MinHash model — every
+    (train, eval) pair sharing a banded minhash value AND with true
+    shingle Jaccard >= threshold, nothing else. Tiny 8-token alphabet
+    forces band collisions and exact/partial overlaps."""
+    from clinvar_ingest_spark.operators.similarity_dedup import (
+        cross_corpus_neardup,
+    )
+
+    tdf = spark.createDataFrame(
+        list(enumerate(train)), "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evals)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["jac"]
+        for r in cross_corpus_neardup(tdf, edf, threshold=0.2).collect()
+    }
+    want = {}
+    for ti, tt in enumerate(train):
+        for ei, et in enumerate(evals):
+            if not (_py_bands(tt) & _py_bands(et)):
+                continue
+            j = _py_jaccard(tt, et)
+            if j >= 0.2:
+                want[(ti, 100 + ei)] = j
+    assert got == want
