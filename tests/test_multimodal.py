@@ -369,3 +369,59 @@ def test_resize_nearest_exact_sampling(spark):
     assert got[1]["kind"] == "png" and got[1]["px_sum"] == int(flat.sum())
     assert got[1]["px_min"] == int(flat.min())
     assert got[2]["kind"] == "opaque" and got[3]["kind"] == "corrupt"
+
+
+def test_decoders_never_crash_on_fuzzed_payloads():
+    """Poison-payload contract, fuzzed: for ANY byte string — raw
+    garbage, magic-prefixed garbage, and truncated/bit-flipped REAL
+    encodings — every decoder dispatch returns a dict with a valid
+    kind and never raises. Pure Python (the same code the Arrow
+    kernels run per batch), so the fuzz loop is cheap."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clinvar_ingest_spark.functions.avi import encode_avi
+    from clinvar_ingest_spark.functions.multimodal import (
+        decode_audio,
+        decode_media,
+        decode_video,
+    )
+    from clinvar_ingest_spark.functions.png import encode_png
+    from clinvar_ingest_spark.functions.wav import encode_wav
+
+    png = encode_png(
+        3, 2, np.arange(18, dtype=np.uint8).tobytes(), 3
+    )
+    wav = encode_wav(8000, 1, 16, np.arange(8, dtype="<i2").tobytes())
+    avi = encode_avi(
+        2, 2, 40_000, [bytes(range(12)), bytes(range(12, 24))]
+    )
+
+    @given(
+        raw=st.binary(max_size=80),
+        cut=st.integers(min_value=0, max_value=200),
+        flip=st.integers(min_value=0, max_value=10_000),
+    )
+    @settings(max_examples=200, deadline=None)
+    def _fuzz(raw, cut, flip):
+        candidates = [
+            raw,
+            b"\x89PNG\r\n\x1a\n" + raw,
+            b"RIFF" + raw[:4].ljust(4, b"\0") + b"WAVE" + raw,
+            b"RIFF" + raw[:4].ljust(4, b"\0") + b"AVI " + raw,
+        ]
+        for real in (png, wav, avi):
+            t = bytearray(real[:cut] if cut < len(real) else real)
+            if t:
+                t[flip % len(t)] ^= 0xFF
+            candidates.append(bytes(t))
+        for payload in candidates:
+            m = decode_media(payload)
+            assert m["kind"] in ("png", "opaque", "corrupt")
+            a = decode_audio(payload)
+            assert a["kind"] in ("wav", "opaque", "corrupt")
+            v = decode_video(payload, sample_every=2)
+            assert v["kind"] in ("avi", "opaque", "corrupt")
+
+    _fuzz()
