@@ -2328,6 +2328,103 @@ ORDER BY g.doc_id
 """
 
 
+def q_multimodal_video_motion(spark, sf_dir):
+    """Temporal video features with a REAL decode: same deterministic
+    AVI fixture as `multimodal_video_features` (odd-sized JUNK chunk,
+    truncated every 7th, opaque every 5th), but the kernel reduces
+    CONSECUTIVE SAMPLED FRAME PAIRS to exact integer motion energies
+    (total and hottest transition — the scene-cut signal). The DuckDB
+    oracle recomputes every pairwise |pixel difference| analytically
+    from doc_id, so a wrong sample phase, frame order, or stride is a
+    hash mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from clinvar_ingest_spark.functions.avi import encode_avi
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_video_motion,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 5 == 4:
+                    payloads.append((text or "").encode("utf-8"))
+                    continue
+                w = 2 + did % 3
+                h = 2 + did % 2
+                nf = 3 + did % 5
+                frames = []
+                for f in range(nf):
+                    i = np.arange(w * h * 3, dtype=np.int64)
+                    frames.append(
+                        ((did * 13 + f * 31 + i * 7) % 256)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                avi = encode_avi(w, h, 40_000, frames)
+                payloads.append(avi[:20] if did % 7 == 3 else avi)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    gen = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    return extract_video_motion(gen, sample_every=2).orderBy("doc_id")
+
+
+_SQL_VIDEO_MOTION = """
+WITH geom AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN 'opaque'
+              WHEN doc_id % 7 = 3 THEN 'corrupt'
+              ELSE 'avi' END AS kind,
+         2 + doc_id % 3 AS w,
+         2 + doc_id % 2 AS h,
+         3 + doc_id % 5 AS nf
+  FROM geom_src
+),
+fr AS (
+  SELECT g.doc_id, g.w, g.h, g.nf, unnest(range(0, g.nf)) AS f
+  FROM geom g WHERE g.kind = 'avi'
+),
+pairs AS (
+  SELECT doc_id, w, h, f FROM fr
+  WHERE f % 2 = 0 AND f + 2 <= nf - 1
+),
+px AS (
+  SELECT doc_id, f, unnest(range(0, w * h * 3)) AS i
+  FROM pairs
+),
+pair_e AS (
+  SELECT doc_id, f,
+         CAST(sum(abs(((doc_id*13 + (f+2)*31 + i*7) % 256)
+                      - ((doc_id*13 + f*31 + i*7) % 256))) AS BIGINT)
+           AS e
+  FROM px GROUP BY doc_id, f
+),
+stats AS (
+  SELECT doc_id, CAST(sum(e) AS BIGINT) AS motion_sum,
+         CAST(max(e) AS BIGINT) AS motion_max_pair,
+         CAST(count(*) AS INTEGER) AS n_pairs
+  FROM pair_e GROUP BY doc_id
+)
+SELECT g.doc_id, g.kind,
+       CAST(CASE WHEN g.kind = 'avi' THEN g.w END AS INTEGER) AS width,
+       CAST(CASE WHEN g.kind = 'avi' THEN g.h END AS INTEGER) AS height,
+       CAST(CASE WHEN g.kind = 'avi' THEN (g.nf + 1) // 2 END AS INTEGER)
+         AS n_sampled,
+       CAST(CASE WHEN g.kind = 'avi' THEN coalesce(s.n_pairs, 0) END
+            AS INTEGER) AS n_pairs,
+       s.motion_sum, s.motion_max_pair
+FROM geom g LEFT JOIN stats s USING (doc_id)
+ORDER BY g.doc_id
+""".replace("geom_src", "documents")
+
+
 def q_domain_token_cap(spark, sf_dir):
     """Per-domain token budget cap (FineWeb-style domination control):
     within each source, docs ranked (token count DESC, id ASC) are
@@ -6872,6 +6969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontamination": q_fuzzy_decontamination,
         "stream_exact_dedup": q_stream_exact_dedup,
         "domain_token_cap": q_domain_token_cap,
+        "multimodal_video_motion": q_multimodal_video_motion,
     }
 
 
@@ -6915,6 +7013,7 @@ FROM (
         "ann_recall_ivf": _SQL_ANN_RECALL,
         "stream_exact_dedup": _SQL_STREAM_DEDUP,
         "domain_token_cap": _SQL_DOMAIN_CAP,
+        "multimodal_video_motion": _SQL_VIDEO_MOTION,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

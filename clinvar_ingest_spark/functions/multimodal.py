@@ -377,3 +377,92 @@ def extract_media_features(
             yield out
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def decode_video_motion(payload: bytes, sample_every: int = 1) -> dict:
+    """Motion-energy features for one video payload: decode (same
+    sniff-and-dispatch contract as :func:`decode_video`), sample every
+    k-th frame, and reduce CONSECUTIVE SAMPLED FRAME PAIRS to exact
+    integer difference energies — ``motion_sum`` is the total absolute
+    pixel difference across all pairs, ``motion_max_pair`` the hottest
+    single transition (the scene-cut detector's raw signal). Unsampled
+    frames are never copied out of the payload; per-pair arrays live
+    only inside this kernel."""
+    from clinvar_ingest_spark.functions.avi import AviError, decode_avi
+
+    base = {
+        "kind": "opaque",
+        "width": None,
+        "height": None,
+        "n_sampled": None,
+        "n_pairs": None,
+        "motion_sum": None,
+        "motion_max_pair": None,
+    }
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return base
+    try:
+        meta = decode_avi(payload, sample_every=sample_every)
+    except AviError:
+        base["kind"] = "corrupt"
+        return base
+    import numpy as np
+
+    frames = meta["frames"]
+    arrs = [
+        np.frombuffer(f, dtype=np.uint8).astype(np.int64) for f in frames
+    ]
+    energies = [
+        int(np.abs(arrs[k + 1] - arrs[k]).sum())
+        for k in range(len(arrs) - 1)
+    ]
+    base.update(
+        {
+            "kind": "avi",
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_sampled": len(frames),
+            "n_pairs": len(energies),
+            "motion_sum": sum(energies) if energies else None,
+            "motion_max_pair": max(energies) if energies else None,
+        }
+    )
+    return base
+
+
+MOTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("n_pairs", T.IntegerType()),
+        T.StructField("motion_sum", T.LongType()),
+        T.StructField("motion_max_pair", T.LongType()),
+    ]
+)
+
+
+def extract_video_motion(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    sample_every: int = 1,
+) -> DataFrame:
+    """Arrow-batched mapInPandas motion-energy extraction — the
+    temporal-feature verb of the video path (decode → sample →
+    frame-difference reduce, all inside one kernel pass)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MOTION_SCHEMA.fields if f.name != "doc_id"]
+        for pdf in batches:
+            feats = [
+                decode_video_motion(p, sample_every=sample_every)
+                for p in pdf[payload_col]
+            ]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_extract, schema=MOTION_SCHEMA)

@@ -425,3 +425,52 @@ def test_decoders_never_crash_on_fuzzed_payloads():
             assert v["kind"] in ("avi", "opaque", "corrupt")
 
     _fuzz()
+
+
+def test_video_motion_energy_hand_computed(spark):
+    """Motion energy = sum |pixel diff| over consecutive SAMPLED frame
+    pairs: hand-computed against the raw frames, sample phase checked
+    (sample_every=2 pairs frames 0-2 and 2-4, never 0-1), single-
+    sampled-frame videos report n_pairs 0 with NULL energies, poison
+    payloads keep the corrupt/opaque contract."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.avi import encode_avi
+    from clinvar_ingest_spark.functions.multimodal import (
+        decode_video_motion,
+        extract_video_motion,
+    )
+
+    w, h = 2, 2
+    n = w * h * 3
+    frames = [
+        (np.arange(n, dtype=np.int64) * (f + 1) % 256)
+        .astype(np.uint8)
+        .tobytes()
+        for f in range(5)
+    ]
+    avi = encode_avi(w, h, 40_000, frames)
+    got = decode_video_motion(avi, sample_every=2)
+    a = [np.frombuffer(frames[f], np.uint8).astype(np.int64) for f in (0, 2, 4)]
+    e1 = int(np.abs(a[1] - a[0]).sum())
+    e2 = int(np.abs(a[2] - a[1]).sum())
+    assert got["kind"] == "avi" and got["n_sampled"] == 3
+    assert got["n_pairs"] == 2
+    assert got["motion_sum"] == e1 + e2
+    assert got["motion_max_pair"] == max(e1, e2)
+    one = decode_video_motion(
+        encode_avi(w, h, 40_000, frames[:1]), sample_every=2
+    )
+    assert one["n_pairs"] == 0 and one["motion_sum"] is None
+    assert decode_video_motion(b"junkpayload")["kind"] == "opaque"
+    assert decode_video_motion(avi[:16])["kind"] == "corrupt"
+
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"junk")], "doc_id long, payload binary"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_video_motion(df, sample_every=2).collect()
+    }
+    assert rows[1]["motion_sum"] == e1 + e2
+    assert rows[2]["kind"] == "opaque"
