@@ -2328,6 +2328,104 @@ ORDER BY g.doc_id
 """
 
 
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Temporal audio features with a REAL decode: same deterministic
+    WAV fixture as `multimodal_audio_features` (LIST-chunk skip,
+    truncated every 7th, opaque every 5th), but the kernel reduces the
+    waveform to the classic energy/ZCR pair — centered sum of squares
+    plus strict same-channel sign changes, both exact integers. The
+    DuckDB oracle recomputes both ANALYTICALLY from doc_id (the ZCR
+    pairs i and i+ch are closed-form), so a wrong channel interleave,
+    centering, or sign convention is a hash mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_audio_energy,
+    )
+    from clinvar_ingest_spark.functions.wav import encode_wav
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 5 == 4:
+                    payloads.append((text or "").encode("utf-8"))
+                    continue
+                rate = 8000 + (did % 3) * 4000
+                ch = 1 + did % 2
+                bits = 8 if did % 3 == 0 else 16
+                nf = did % 24 + 4
+                idx = np.arange(nf * ch, dtype=np.int64)
+                raw = did * 17 + idx * 29
+                if bits == 8:
+                    frames = (raw % 256).astype(np.uint8).tobytes()
+                else:
+                    frames = ((raw % 65536) - 32768).astype("<i2").tobytes()
+                wav = encode_wav(rate, ch, bits, frames)
+                payloads.append(wav[:16] if did % 7 == 3 else wav)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    gen = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    return extract_audio_energy(gen).orderBy("doc_id")
+
+
+_SQL_AUDIO_ENERGY = """
+WITH geom AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN 'opaque'
+              WHEN doc_id % 7 = 3 THEN 'corrupt'
+              ELSE 'wav' END AS kind,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         1 + doc_id % 2 AS ch,
+         CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+         doc_id % 24 + 4 AS nf
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, bits, ch, nf, unnest(range(0, nf * ch)) AS i
+  FROM geom WHERE kind = 'wav'
+),
+vals AS (
+  SELECT doc_id, ch, nf, i,
+         CASE WHEN bits = 8 THEN ((doc_id*17 + i*29) % 256) - 128
+              ELSE ((doc_id*17 + i*29) % 65536) - 32768 END AS v,
+         CASE WHEN bits = 8
+              THEN ((doc_id*17 + (i + ch)*29) % 256) - 128
+              ELSE ((doc_id*17 + (i + ch)*29) % 65536) - 32768 END AS v2
+  FROM idx
+),
+en AS (
+  SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS energy
+  FROM vals GROUP BY doc_id
+),
+zc AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v * v2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_crossings
+  FROM vals WHERE i < (nf - 1) * ch GROUP BY doc_id
+)
+SELECT g.doc_id, g.kind,
+       CAST(CASE WHEN g.kind = 'wav' THEN g.rate END AS INTEGER)
+         AS sample_rate,
+       CAST(CASE WHEN g.kind = 'wav' THEN g.ch END AS INTEGER)
+         AS channels,
+       CAST(CASE WHEN g.kind = 'wav' THEN g.bits END AS INTEGER) AS bits,
+       CAST(CASE WHEN g.kind = 'wav' THEN g.nf END AS INTEGER)
+         AS n_frames,
+       e.energy, z.zero_crossings
+FROM geom g
+LEFT JOIN en e USING (doc_id)
+LEFT JOIN zc z USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
 def q_multimodal_video_motion(spark, sf_dir):
     """Temporal video features with a REAL decode: same deterministic
     AVI fixture as `multimodal_video_features` (odd-sized JUNK chunk,
@@ -6970,6 +7068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup": q_stream_exact_dedup,
         "domain_token_cap": q_domain_token_cap,
         "multimodal_video_motion": q_multimodal_video_motion,
+        "multimodal_audio_energy": q_multimodal_audio_energy,
     }
 
 
@@ -7014,6 +7113,7 @@ FROM (
         "stream_exact_dedup": _SQL_STREAM_DEDUP,
         "domain_token_cap": _SQL_DOMAIN_CAP,
         "multimodal_video_motion": _SQL_VIDEO_MOTION,
+        "multimodal_audio_energy": _SQL_AUDIO_ENERGY,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

@@ -466,3 +466,84 @@ def extract_video_motion(
             yield out
 
     return df.mapInPandas(_extract, schema=MOTION_SCHEMA)
+
+
+def decode_audio_energy(payload: bytes) -> dict:
+    """Waveform features for one audio payload: centered energy (sum of
+    squared deviations from the bit-depth midpoint — 128 for u8, 0 for
+    s16) and the zero-crossing count (strict sign changes between
+    CONSECUTIVE FRAMES of the SAME channel — the classic energy/ZCR
+    speech-vs-noise pair), both exact integers. Same sniff-and-dispatch
+    poison-payload contract as :func:`decode_audio`; the waveform
+    array lives only inside this kernel."""
+    from clinvar_ingest_spark.functions.wav import WavError, decode_wav
+
+    base = {
+        "kind": "opaque",
+        "sample_rate": None,
+        "channels": None,
+        "bits": None,
+        "n_frames": None,
+        "energy": None,
+        "zero_crossings": None,
+    }
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return base
+    try:
+        meta = decode_wav(payload, return_samples=True)
+    except WavError:
+        base["kind"] = "corrupt"
+        return base
+    import numpy as np
+
+    s = meta["samples"].astype(np.int64)
+    center = 128 if meta["bits"] == 8 else 0
+    c = s - center
+    if meta["n_frames"] and meta["channels"]:
+        bych = c.reshape(meta["n_frames"], meta["channels"])
+        zc = int(((bych[:-1] * bych[1:]) < 0).sum())
+    else:
+        zc = 0
+    base.update(
+        {
+            "kind": "wav",
+            "sample_rate": meta["sample_rate"],
+            "channels": meta["channels"],
+            "bits": meta["bits"],
+            "n_frames": meta["n_frames"],
+            "energy": int((c * c).sum(dtype=np.int64)) if c.size else None,
+            "zero_crossings": zc if c.size else None,
+        }
+    )
+    return base
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def extract_audio_energy(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched mapInPandas energy/ZCR extraction — the temporal-
+    feature verb of the audio path."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ENERGY_SCHEMA.fields if f.name != "doc_id"]
+        for pdf in batches:
+            feats = [decode_audio_energy(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_extract, schema=ENERGY_SCHEMA)

@@ -72,13 +72,16 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> dict:
+def decode_wav(payload: bytes, return_samples: bool = False) -> dict:
     """Parse a PCM WAV payload into geometry + exact sample stats.
 
     Returns ``{sample_rate, channels, bits, n_frames, s_sum, s_min,
     s_max}`` where the stats cover every sample of every channel in the
     sample domain (u8 for 8-bit, s16 LE for 16-bit; empty data → null
-    stats). Raises :class:`WavError` on anything malformed: bad magic,
+    stats). ``return_samples=True`` adds a ``samples`` numpy array
+    (interleaved, native sample domain) for feature kernels that need
+    the waveform — kernel-internal only, never a DataFrame column.
+    Raises :class:`WavError` on anything malformed: bad magic,
     truncated chunks, missing/short fmt, non-PCM codec, geometry that
     contradicts itself, or a data chunk that is not whole frames."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -116,7 +119,7 @@ def decode_wav(payload: bytes) -> dict:
     if len(data) % block_align:
         raise WavError("data chunk is not whole frames")
     samples = np.frombuffer(data, dtype=np.uint8 if bits == 8 else "<i2")
-    return {
+    out = {
         "sample_rate": sample_rate,
         "channels": channels,
         "bits": bits,
@@ -125,3 +128,6 @@ def decode_wav(payload: bytes) -> dict:
         "s_min": int(samples.min()) if samples.size else None,
         "s_max": int(samples.max()) if samples.size else None,
     }
+    if return_samples:
+        out["samples"] = samples
+    return out

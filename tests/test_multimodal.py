@@ -474,3 +474,46 @@ def test_video_motion_energy_hand_computed(spark):
     }
     assert rows[1]["motion_sum"] == e1 + e2
     assert rows[2]["kind"] == "opaque"
+
+
+def test_audio_energy_and_zero_crossings_hand_computed(spark):
+    """Energy = centered sum of squares; ZCR = strict sign changes
+    between consecutive frames of the SAME channel (never across the
+    interleave) — hand-computed on a 2-channel signal whose channels
+    cross at different frames; zero samples never cross; poison
+    contract holds."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        decode_audio_energy,
+        extract_audio_energy,
+    )
+    from clinvar_ingest_spark.functions.wav import encode_wav
+
+    # ch0: +5 -3 +2 0 -7  (crossings: f0-f1, f1-f2; f3 is zero -> none)
+    # ch1: -1 -2 +4 +6 -8 (crossings: f1-f2, f3-f4)
+    ch0 = [5, -3, 2, 0, -7]
+    ch1 = [-1, -2, 4, 6, -8]
+    inter = np.array(
+        [v for pair in zip(ch0, ch1) for v in pair], dtype="<i2"
+    )
+    wav = encode_wav(8000, 2, 16, inter.tobytes())
+    got = decode_audio_energy(wav)
+    assert got["kind"] == "wav" and got["n_frames"] == 5
+    assert got["energy"] == sum(v * v for v in ch0 + ch1)
+    assert got["zero_crossings"] == 4
+    # u8 path centers at 128: 127|129 alternation crosses every frame
+    u8 = np.array([127, 129, 127, 129], dtype=np.uint8)
+    got8 = decode_audio_energy(encode_wav(8000, 1, 8, u8.tobytes()))
+    assert got8["energy"] == 4 and got8["zero_crossings"] == 3
+    assert decode_audio_energy(b"junk")["kind"] == "opaque"
+    assert decode_audio_energy(wav[:12])["kind"] == "corrupt"
+
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"junk")], "doc_id long, payload binary"
+    )
+    rows = {
+        r["doc_id"]: r for r in extract_audio_energy(df).collect()
+    }
+    assert rows[1]["zero_crossings"] == 4
+    assert rows[2]["kind"] == "opaque"
