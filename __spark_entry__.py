@@ -2328,6 +2328,102 @@ ORDER BY g.doc_id
 """
 
 
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hashing with a REAL decode: same deterministic
+    PNG fixture as `multimodal_resize` (every 9th truncated, every 4th
+    opaque); the kernel computes the 64-bit dHash — integer grayscale,
+    9x8 nearest resize, row-gradient bits — as two BIGINT halves. The
+    DuckDB oracle replays grayscale, resize index math, gradient
+    comparisons, AND the bit packing analytically from doc_id, so any
+    divergence in rounding, channel summing, or bit order is a hash
+    mismatch. Group on (dhash_hi, dhash_lo) for exact perceptual
+    image dedup; band the halves for Hamming-tolerant buckets."""
+    import numpy as np
+    import pandas as pd
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_image_dhash,
+    )
+    from clinvar_ingest_spark.functions.png import encode_png
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 4 == 3:
+                    payloads.append((text or "").encode("utf-8"))
+                    continue
+                w = did % 16 + 1
+                h = did % 8 + 1
+                c = 1 if did % 2 == 0 else 3
+                px = (
+                    (did * 31 + np.arange(w * h * c, dtype=np.int64))
+                    % 256
+                ).astype(np.uint8).tobytes()
+                png = encode_png(w, h, px, c)
+                payloads.append(png[:20] if did % 9 == 5 else png)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    gen = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    return extract_image_dhash(gen).orderBy("doc_id")
+
+
+_SQL_IMAGE_DHASH = """
+WITH geom AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 3 THEN 'opaque'
+              WHEN doc_id % 9 = 5 THEN 'corrupt'
+              ELSE 'png' END AS kind,
+         doc_id % 16 + 1 AS w,
+         doc_id % 8 + 1 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+  FROM documents
+),
+cells AS (
+  SELECT g.doc_id, g.c, ty.y2 AS y, tx.x2 AS x,
+         ((ty.y2 * g.h) // 8 * g.w + (tx.x2 * g.w) // 9) * g.c AS j0
+  FROM geom g, range(0, 8) ty(y2), range(0, 9) tx(x2)
+  WHERE g.kind = 'png'
+),
+gray AS (
+  SELECT doc_id, y, x,
+         (CASE WHEN c = 1 THEN (doc_id*31 + j0) % 256
+               ELSE ((doc_id*31 + j0) % 256)
+                    + ((doc_id*31 + j0 + 1) % 256)
+                    + ((doc_id*31 + j0 + 2) % 256) END) // c AS g
+  FROM cells
+),
+bits AS (
+  SELECT a.doc_id, (a.y * 8 + a.x) AS pos
+  FROM gray a JOIN gray b
+    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8 AND b.g > a.g
+),
+hsh AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN pos >= 32
+                                THEN (1::BIGINT << (pos - 32)) END), 0)
+              AS BIGINT) AS dhash_hi,
+         CAST(coalesce(sum(CASE WHEN pos < 32
+                                THEN (1::BIGINT << pos) END), 0)
+              AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY doc_id
+)
+SELECT g.doc_id, g.kind,
+       CAST(CASE WHEN g.kind = 'png' THEN coalesce(h.dhash_hi, 0) END
+            AS BIGINT) AS dhash_hi,
+       CAST(CASE WHEN g.kind = 'png' THEN coalesce(h.dhash_lo, 0) END
+            AS BIGINT) AS dhash_lo
+FROM geom g LEFT JOIN hsh h USING (doc_id)
+ORDER BY g.doc_id
+"""
+
+
 def q_multimodal_audio_energy(spark, sf_dir):
     """Temporal audio features with a REAL decode: same deterministic
     WAV fixture as `multimodal_audio_features` (LIST-chunk skip,
@@ -7069,6 +7165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_token_cap": q_domain_token_cap,
         "multimodal_video_motion": q_multimodal_video_motion,
         "multimodal_audio_energy": q_multimodal_audio_energy,
+        "image_dhash": q_image_dhash,
     }
 
 
@@ -7114,6 +7211,7 @@ FROM (
         "domain_token_cap": _SQL_DOMAIN_CAP,
         "multimodal_video_motion": _SQL_VIDEO_MOTION,
         "multimodal_audio_energy": _SQL_AUDIO_ENERGY,
+        "image_dhash": _SQL_IMAGE_DHASH,
         "quality_classifier_scores": _SQL_CLASSIFIER,
         "quality_classifier_training": _SQL_PERCEPTRON,
         "duplicate_span_removal": _SQL_DUP_SPANS,

@@ -547,3 +547,82 @@ def extract_audio_energy(
             yield out
 
     return df.mapInPandas(_extract, schema=ENERGY_SCHEMA)
+
+
+def image_dhash(payload: bytes) -> dict:
+    """Perceptual difference hash (dHash) for one image payload: decode
+    → integer grayscale (channel sum ``div`` channels, truncating) →
+    nearest-neighbor resize to 9x8 → 64 bits, bit (y,x) set iff
+    gray[y][x+1] > gray[y][x]. Near-duplicate IMAGES (re-encodes,
+    resizes, small crops) collide or land within a small Hamming
+    distance — the image-side analog of the text MinHash family, and
+    every step is integer-exact so the hash itself value-hashes across
+    engines. Returned as two BIGINT halves (bits 63..32 and 31..0) to
+    stay inside signed-64 range everywhere.
+
+    Same poison-payload contract as every decode path."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.png import PngError, decode_png
+
+    base = {"kind": "opaque", "dhash_hi": None, "dhash_lo": None}
+    if payload[:8] != _PNG_MAGIC:
+        return base
+    try:
+        img = decode_png(payload)
+    except PngError:
+        base["kind"] = "corrupt"
+        return base
+    w, h, c = img["width"], img["height"], img["channels"]
+    px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, c)
+    gray = px.astype(np.int64).sum(axis=2) // c
+    g = {
+        "width": w,
+        "height": h,
+        "channels": 1,
+        # uint8-safe: gray is a channel mean, always 0..255
+        "pixels": gray.astype(np.uint8).tobytes(),
+    }
+    r = resize_nearest(g, 9, 8)
+    gr = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(8, 9).astype(
+        np.int64
+    )
+    bits = (gr[:, 1:] > gr[:, :-1]).reshape(-1)  # bitpos = y*8 + x
+    hi = lo = 0
+    for pos, b in enumerate(bits):
+        if not b:
+            continue
+        if pos >= 32:
+            hi |= 1 << (pos - 32)
+        else:
+            lo |= 1 << pos
+    base.update({"kind": "png", "dhash_hi": hi, "dhash_lo": lo})
+    return base
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ]
+)
+
+
+def extract_image_dhash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched mapInPandas dHash extraction; group the output on
+    (dhash_hi, dhash_lo) for exact perceptual dedup, or band the halves
+    for a Hamming-tolerant bucket join (the SimHash recipe)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DHASH_SCHEMA.fields if f.name != "doc_id"]
+        for pdf in batches:
+            feats = [image_dhash(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats, columns=cols)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(_extract, schema=DHASH_SCHEMA)

@@ -517,3 +517,69 @@ def test_audio_energy_and_zero_crossings_hand_computed(spark):
     }
     assert rows[1]["zero_crossings"] == 4
     assert rows[2]["kind"] == "opaque"
+
+
+def test_image_dhash_upscale_invariant_and_exact(spark):
+    """dHash is a perceptual hash: a nearest-neighbor 2x upscale (a
+    'bigger copy' of the same picture) must produce the IDENTICAL
+    64-bit hash (floor-division index math composes exactly), while a
+    genuinely different image differs; bit packing is checked against
+    a python reference; poison contract holds."""
+    import numpy as np
+
+    from clinvar_ingest_spark.functions.multimodal import (
+        extract_image_dhash,
+        image_dhash,
+        resize_nearest,
+    )
+    from clinvar_ingest_spark.functions.png import encode_png
+
+    w, h, c = 12, 6, 3
+    px = ((np.arange(w * h * c, dtype=np.int64) * 37 + 11) % 256).astype(
+        np.uint8
+    )
+    png = encode_png(w, h, px.tobytes(), c)
+    d1 = image_dhash(png)
+    assert d1["kind"] == "png"
+    # python reference: gray -> 9x8 nearest -> gradient bits
+    gray = px.reshape(h, w, c).astype(np.int64).sum(axis=2) // c
+    rs = np.array(
+        [
+            [gray[y * h // 8][x * w // 9] for x in range(9)]
+            for y in range(8)
+        ]
+    )
+    hi = lo = 0
+    for y in range(8):
+        for x in range(8):
+            if rs[y][x + 1] > rs[y][x]:
+                pos = y * 8 + x
+                if pos >= 32:
+                    hi |= 1 << (pos - 32)
+                else:
+                    lo |= 1 << pos
+    assert (d1["dhash_hi"], d1["dhash_lo"]) == (hi, lo)
+    # 2x nearest upscale: same picture, same hash
+    up = resize_nearest(
+        {"width": w, "height": h, "channels": c, "pixels": px.tobytes()},
+        2 * w,
+        2 * h,
+    )
+    png_up = encode_png(2 * w, 2 * h, up["pixels"], c)
+    d2 = image_dhash(png_up)
+    assert (d2["dhash_hi"], d2["dhash_lo"]) == (hi, lo)
+    # a different image differs
+    other = encode_png(w, h, px[::-1].copy().tobytes(), c)
+    d3 = image_dhash(other)
+    assert (d3["dhash_hi"], d3["dhash_lo"]) != (hi, lo)
+    assert image_dhash(b"junk")["kind"] == "opaque"
+    assert image_dhash(png[:20])["kind"] == "corrupt"
+
+    df = spark.createDataFrame(
+        [(1, png), (2, png_up), (3, other)], "doc_id long, payload binary"
+    )
+    rows = {
+        r["doc_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in extract_image_dhash(df).collect()
+    }
+    assert rows[1] == rows[2] == (hi, lo) and rows[3] != rows[1]
