@@ -258,7 +258,35 @@ class IngestPipeline:
         return self.spark.read.parquet(f"{self.target.path}/_metrics/batch=*")
 
     # ------------------------------------------------------------ run
-    def run_batch(self, rng: OffsetRange, log_end_seq: int | None = None) -> BatchReport:
+    def _profile_rows(self, raw: DataFrame) -> list:
+        """The per-(source partition, target bucket) profile aggregate
+        of a batch slice — collected rows (metadata-sized)."""
+        from clinvar_ingest_spark.tables import bucket_expr
+
+        part_col, seq_col = self.source.part_col, self.source.seq_col
+        return (
+            raw.groupBy(
+                F.col(part_col),
+                bucket_expr(self.target.key_col, self.target.n_buckets).alias(
+                    "_b"
+                ),
+            )
+            .agg(
+                F.min(seq_col).alias("lo"),
+                F.max(seq_col).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("op") != F.lit("delete")).cast("long")).alias("u"),
+                F.sum((F.col("op") == F.lit("delete")).cast("long")).alias("d"),
+            )
+            .collect()
+        )
+
+    def run_batch(
+        self,
+        rng: OffsetRange,
+        log_end_seq: int | None = None,
+        _prefetched_profile=None,
+    ) -> BatchReport:
         """Apply one offset range exactly once.
 
         The expensive transform (extraction) runs AFTER the LWW dedup
@@ -320,26 +348,17 @@ class IngestPipeline:
         # batch_stats, so a batch costs exactly two Spark jobs: profile
         # + merge-write. At high parallelism the saved scan and job
         # round-trip come straight off the serial Amdahl floor.
-        from clinvar_ingest_spark.tables import bucket_expr
-
+        # run_to_end PREFETCHES the next batch's profile while the
+        # current batch's merge runs (the profile reads only the
+        # immutable log, so it is independent of every earlier commit);
+        # _prefetched_profile then carries the already-collected rows
+        # and this stage only accounts the residual wait.
         part_col, seq_col = self.source.part_col, self.source.seq_col
         with stage("batch.profile"):
-            prof = (
-                raw.groupBy(
-                    F.col(part_col),
-                    bucket_expr(self.target.key_col, self.target.n_buckets).alias(
-                        "_b"
-                    ),
-                )
-                .agg(
-                    F.min(seq_col).alias("lo"),
-                    F.max(seq_col).alias("hi"),
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum((F.col("op") != F.lit("delete")).cast("long")).alias("u"),
-                    F.sum((F.col("op") == F.lit("delete")).cast("long")).alias("d"),
-                )
-                .collect()
-            )
+            if _prefetched_profile is not None and not self.dlq:
+                prof = _prefetched_profile.result()
+            else:
+                prof = self._profile_rows(raw)
         by_part: dict[int, dict] = {}
         touched: set[int] = set()
         n_up = n_del = 0
@@ -553,11 +572,41 @@ class IngestPipeline:
     def run_to_end(self, span: int, end_seq: int | None = None) -> list[BatchReport]:
         """Tail the log to its end (availableNow semantics), resuming
         from the committed HWM — call it again after a crash and it
-        continues where the last atomic commit left off."""
+        continues where the last atomic commit left off.
+
+        The next batch's profile scan is PREFETCHED on a helper thread
+        while the current batch's merge job runs (guide §2.6: overlap
+        independent jobs — the profile reads only the immutable log, so
+        batch k+1's profile has no dependency on batch k's commit; its
+        tasks back-fill executor slots freed by the merge's straggler
+        tail). Exactly-once is untouched: the prefetch computes the
+        same deterministic aggregate run_batch would, and a fenced
+        (skipped) batch simply discards its prefetched rows. DLQ mode
+        profiles inline (quarantine must filter the batch first)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         end = self.source.max_seq() if end_seq is None else end_seq
-        reports = []
-        for rng in self.source.plan_batches(self.global_hwm(), end, span):
-            reports.append(self.run_batch(rng, log_end_seq=end))
+        ranges = self.source.plan_batches(self.global_hwm(), end, span)
+        reports: list[BatchReport] = []
+        if self.dlq or len(ranges) <= 1:
+            for rng in ranges:
+                reports.append(self.run_batch(rng, log_end_seq=end))
+            return reports
+        with ThreadPoolExecutor(1) as pool:
+            futs: dict[int, object] = {
+                0: pool.submit(self._profile_rows, self.source.batch(ranges[0]))
+            }
+            for i, rng in enumerate(ranges):
+                if i + 1 < len(ranges):
+                    futs[i + 1] = pool.submit(
+                        self._profile_rows, self.source.batch(ranges[i + 1])
+                    )
+                reports.append(
+                    self.run_batch(
+                        rng, log_end_seq=end,
+                        _prefetched_profile=futs.pop(i),
+                    )
+                )
         return reports
 
     # ------------------------------------------------------------ audit

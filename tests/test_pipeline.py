@@ -215,3 +215,44 @@ def test_dlq_fenced_replay_does_not_rewrite(spark, tmp_path):
     rep = pipe.run_batch(OffsetRange(-1, 299))
     assert rep.skipped and rep.n_dead == 0
     assert (sorted(os.listdir(d0)), os.stat(d0).st_mtime_ns) == before
+
+
+def test_prefetched_profile_equals_inline(spark, tmp_path):
+    """run_to_end prefetches batch k+1's profile while batch k's merge
+    runs (round-6 optimization). The prefetched aggregate must be the
+    SAME deterministic result the inline path computes: state, lineage
+    rows, and per-batch upsert/delete counts all agree with a manual
+    batch-by-batch run (which profiles inline), over a parquet-backed
+    log (also exercising the footer-stats max_seq fast path)."""
+    log_path = str(tmp_path / "log")
+    synthetic_change_log(spark, N, n_urls=150).write.parquet(log_path)
+    parquet_log = spark.read.parquet(log_path)
+
+    pre = IngestPipeline(
+        spark,
+        ChangeLogSource(parquet_log),
+        SnapshotTable(spark, str(tmp_path / "a"), key_col="url", n_buckets=8)
+        .create(SCHEMA),
+    )
+    assert pre.source.max_seq() == N - 1  # metadata fast path, exact
+    reports = pre.run_to_end(span=301)  # 4 ragged batches, prefetched
+
+    inline = IngestPipeline(
+        spark,
+        ChangeLogSource(parquet_log),
+        SnapshotTable(spark, str(tmp_path / "b"), key_col="url", n_buckets=8)
+        .create(SCHEMA),
+    )
+    manual = [
+        inline.run_batch(rng, log_end_seq=N - 1)
+        for rng in inline.source.plan_batches(-1, N - 1, 301)
+    ]
+    assert [(r.n_upserts, r.n_deletes, r.lo, r.hi) for r in reports] == [
+        (r.n_upserts, r.n_deletes, r.lo, r.hi) for r in manual
+    ]
+    assert _state(pre) == _state(inline)
+    lin = lambda p: sorted(  # noqa: E731
+        (r["batch_id"], r["part"], r["seq_lo"], r["seq_hi"], r["n_rows"])
+        for r in p.lineage().collect()
+    )
+    assert lin(pre) == lin(inline)
