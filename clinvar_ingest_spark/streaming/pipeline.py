@@ -311,6 +311,7 @@ class IngestPipeline:
         t0 = time.monotonic()
         batch_id = self.last_batch_id() + 1
         raw = self.source.batch(rng)
+        m_cur = self.target.current_manifest() or {}
 
         n_dead = 0
         if self.dlq:
@@ -348,48 +349,90 @@ class IngestPipeline:
         # batch_stats, so a batch costs exactly two Spark jobs: profile
         # + merge-write. At high parallelism the saved scan and job
         # round-trip come straight off the serial Amdahl floor.
-        # run_to_end PREFETCHES the next batch's profile while the
-        # current batch's merge runs (the profile reads only the
-        # immutable log, so it is independent of every earlier commit);
-        # _prefetched_profile then carries the already-collected rows
-        # and this stage only accounts the residual wait.
-        part_col, seq_col = self.source.part_col, self.source.seq_col
-        with stage("batch.profile"):
-            if _prefetched_profile is not None and not self.dlq:
-                prof = _prefetched_profile.result()
-            else:
-                prof = self._profile_rows(raw)
-        by_part: dict[int, dict] = {}
-        touched: set[int] = set()
-        n_up = n_del = 0
-        for r in prof:
-            touched.add(int(r["_b"]))
-            n_up += int(r["u"] or 0)
-            n_del += int(r["d"] or 0)
-            p = int(r[part_col])
-            agg = by_part.setdefault(
-                p, {"part": p, "seq_lo": r["lo"], "seq_hi": r["hi"], "n_rows": 0}
-            )
-            agg["seq_lo"] = min(agg["seq_lo"], int(r["lo"]))
-            agg["seq_hi"] = max(agg["seq_hi"], int(r["hi"]))
-            agg["n_rows"] += int(r["n"])
-        part_ranges = [by_part[p] for p in sorted(by_part)]
-        batch_stats = {
-            "touched": sorted(touched),
-            "n_upserts": n_up,
-            "n_deletes": n_del,
-        }
+        # Two overlap paths take even that off the critical path
+        # (guide §2.6 — overlap independent jobs):
+        # * run_to_end PREFETCHES the next batch's profile while the
+        #   current batch's merge runs (the profile reads only the
+        #   immutable log, so it is independent of every earlier
+        #   commit);
+        # * a BOOTSTRAP batch (target has no data files yet — nothing
+        #   to prune, so the merge plan does not need `touched`) runs
+        #   the profile CONCURRENTLY with its own merge and only awaits
+        #   it in the commit-time properties callable — the profile's
+        #   tasks back-fill the merge's scheduling gaps and its wall
+        #   leaves the serial floor entirely.
+        local_pool = None
+        fut = _prefetched_profile if not self.dlq else None
+        bootstrap = not self.dlq and not any(m_cur.get("buckets") or {})
+        if bootstrap and fut is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        hwm_by_part = self.checkpoints()
-        for pr in part_ranges:
-            hwm_by_part[str(pr["part"])] = max(
-                pr["seq_hi"], hwm_by_part.get(str(pr["part"]), -1)
-            )
-        props = {
-            "global_hwm": rng.hi,
-            "batch_id": batch_id,
-            "hwm_by_part": hwm_by_part,
-        }
+            local_pool = ThreadPoolExecutor(1)
+            fut = local_pool.submit(self._profile_rows, raw)
+
+        folded: dict = {}
+
+        def _fold(prof) -> dict:
+            part_col = self.source.part_col
+            by_part: dict[int, dict] = {}
+            touched: set[int] = set()
+            n_up = n_del = 0
+            for r in prof:
+                touched.add(int(r["_b"]))
+                n_up += int(r["u"] or 0)
+                n_del += int(r["d"] or 0)
+                p = int(r[part_col])
+                agg = by_part.setdefault(
+                    p,
+                    {"part": p, "seq_lo": r["lo"], "seq_hi": r["hi"], "n_rows": 0},
+                )
+                agg["seq_lo"] = min(agg["seq_lo"], int(r["lo"]))
+                agg["seq_hi"] = max(agg["seq_hi"], int(r["hi"]))
+                agg["n_rows"] += int(r["n"])
+            part_ranges = [by_part[p] for p in sorted(by_part)]
+            hwm_by_part = self.checkpoints()
+            for pr in part_ranges:
+                hwm_by_part[str(pr["part"])] = max(
+                    pr["seq_hi"], hwm_by_part.get(str(pr["part"]), -1)
+                )
+            return {
+                "part_ranges": part_ranges,
+                "touched": sorted(touched),
+                "n_upserts": n_up,
+                "n_deletes": n_del,
+                "hwm_by_part": hwm_by_part,
+            }
+
+        if bootstrap:
+            # stats resolve lazily, just before the atomic commit (the
+            # merge job has long finished the scan by then); `touched`
+            # is derived by merge_upsert from the writer's own output —
+            # exact on an empty table, every written bucket IS touched
+            batch_stats = {"touched": None, "n_upserts": 0, "n_deletes": 0}
+
+            def props():
+                with stage("batch.profile"):
+                    folded.update(_fold(fut.result()))
+                return {
+                    "global_hwm": rng.hi,
+                    "batch_id": batch_id,
+                    "hwm_by_part": folded["hwm_by_part"],
+                }
+        else:
+            with stage("batch.profile"):
+                folded.update(
+                    _fold(fut.result() if fut is not None else self._profile_rows(raw))
+                )
+            batch_stats = {
+                "touched": folded["touched"],
+                "n_upserts": folded["n_upserts"],
+                "n_deletes": folded["n_deletes"],
+            }
+            props = {
+                "global_hwm": rng.hi,
+                "batch_id": batch_id,
+                "hwm_by_part": folded["hwm_by_part"],
+            }
 
         if self._fused:
             from clinvar_ingest_spark.functions.extract import (
@@ -399,18 +442,24 @@ class IngestPipeline:
             transform_kw = {"arrow_transform": coalesce_extract_arrow()}
         else:
             transform_kw = {"post_merge_transform": self.transform}
-        with stage("batch.merge"):
-            res = self.target.merge_upsert(
-                raw.drop(self.source.part_col),
-                order_cols=("warc_ts", "seq"),
-                op_col="op",
-                properties=props,
-                dedup_strategy=self.dedup_strategy,
-                batch_stats=batch_stats,
-                merge_mode=self.merge_mode,
-                **transform_kw,
-            )
+        try:
+            with stage("batch.merge"):
+                res = self.target.merge_upsert(
+                    raw.drop(self.source.part_col),
+                    order_cols=("warc_ts", "seq"),
+                    op_col="op",
+                    properties=props,
+                    dedup_strategy=self.dedup_strategy,
+                    batch_stats=batch_stats,
+                    merge_mode=self.merge_mode,
+                    **transform_kw,
+                )
+        finally:
+            if local_pool is not None:
+                local_pool.shutdown(wait=False)
         wall = time.monotonic() - t0
+        part_ranges = folded["part_ranges"]
+        n_up, n_del = folded["n_upserts"], folded["n_deletes"]
         n_events = sum(pr["n_rows"] for pr in part_ranges)
 
         # Sidecar tables are re-derivable from the manifest chain; their
@@ -457,7 +506,7 @@ class IngestPipeline:
             self.refresh_derived()
         return BatchReport(
             batch_id, rng.lo, rng.hi, False, res.snapshot_id,
-            res.n_upserts, res.n_deletes, wall, eps, n_dead,
+            n_up, n_del, wall, eps, n_dead,
         )
 
     def refresh_derived(self) -> dict[str, int]:

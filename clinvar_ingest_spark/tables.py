@@ -2680,6 +2680,17 @@ class SnapshotTable:
             touched = sorted(int(r[BUCKET_COL]) for r in stat_rows)
             n_up = sum(int(r["u"] or 0) for r in stat_rows)
             n_del = sum(int(r["d"] or 0) for r in stat_rows)
+        elif batch_stats["touched"] is None:
+            # caller defers stats (bootstrap overlap: the profile job
+            # runs concurrently with this merge): touched is derived
+            # below from the writer's own output — exact when the
+            # target holds no data files, because every bucket the
+            # merge writes IS a touched bucket and there is nothing
+            # stored to prune. The un-pruned target read is free on an
+            # empty manifest.
+            touched = None
+            n_up = int(batch_stats["n_upserts"])
+            n_del = int(batch_stats["n_deletes"])
         else:
             touched = sorted(int(b) for b in batch_stats["touched"])
             n_up = int(batch_stats["n_upserts"])
@@ -2731,6 +2742,8 @@ class SnapshotTable:
             for b, files in new_files.items():
                 buckets.setdefault(b, [])
                 buckets[b] = buckets[b] + files  # APPEND, never replace
+            if touched is None:
+                touched = sorted(new_files.keys())
             props = dict(m.get("properties", {}))
             props.update(
                 properties() if callable(properties) else (properties or {})
@@ -2814,9 +2827,11 @@ class SnapshotTable:
                     list(order_cols), op_col, delete_op, arrow_transform,
                     data_cols,
                 )
-                if touched
+                if (touched is None or touched)
                 else {}
             )
+            if touched is None:
+                touched = sorted(new_bucket_files.keys())
             buckets = {int(b): f for b, f in m["buckets"].items()}
             for b in touched:
                 buckets[b] = new_bucket_files.get(b, [])
@@ -2894,9 +2909,11 @@ class SnapshotTable:
                     survivors.select(*out_cols), m["snapshot_id"] + 1,
                     arrow_transform=arrow_transform,
                 )
-                if touched
+                if (touched is None or touched)
                 else {}
             )
+        if touched is None:  # deferred stats: writer output IS the set
+            touched = sorted(new_bucket_files.keys())
         buckets = {int(b): f for b, f in m["buckets"].items()}
         for b in touched:
             buckets[b] = new_bucket_files.get(b, [])  # bucket may be emptied
