@@ -2719,15 +2719,25 @@ def q_stream_exact_dedup(spark, sf_dir):
     # Materialize the (50-row) result, then remove the scratch root —
     # the lazy read previously kept the tempdir alive forever, leaking
     # disk on every bench/correctness run of this gate (ADVICE r5).
+    # warc_ts crosses the driver as exact int64 MICROS, not Python
+    # datetimes: TimestampType's collect/createDataFrame conversions go
+    # through the OS-local timezone (fromtimestamp/mktime), where a
+    # DST-fold-ambiguous value on a non-UTC host can come back 3600 s
+    # off; unix_micros/timestamp_micros round-trips are tz-free and
+    # byte-exact.
     rows = (
         spark.read.parquet(out_dir)
-        .select("seq", "warc_ts", "content")
+        .select("seq", F.unix_micros("warc_ts").alias("warc_us"), "content")
         .collect()
     )
     _shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "seq long, warc_ts timestamp, content string"
-    ).orderBy("content")
+    return (
+        spark.createDataFrame(rows, "seq long, warc_us long, content string")
+        .select(
+            "seq", F.timestamp_micros("warc_us").alias("warc_ts"), "content"
+        )
+        .orderBy("content")
+    )
 
 
 _SQL_STREAM_DEDUP = """

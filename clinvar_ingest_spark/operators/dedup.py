@@ -58,13 +58,21 @@ def lww_dedup(
     key_cols = list(key_cols)
     order_cols = list(order_cols)
 
+    def _free(name: str) -> str:
+        # helper-column hygiene: never clobber a caller column that
+        # happens to share a helper's name (nothing reserves "_"-names)
+        while name in df.columns:
+            name += "_"
+        return name
+
     if strategy == "max_by":
         payload = [c for c in df.columns if c not in key_cols]
         ver = _version_struct(order_cols)
+        top = _free("_top")
         out = df.groupBy(*key_cols).agg(
-            F.max_by(F.struct(*[F.col(c) for c in payload]), ver).alias("_top")
+            F.max_by(F.struct(*[F.col(c) for c in payload]), ver).alias(top)
         )
-        return out.select(*key_cols, *[F.col(f"_top.{c}").alias(c) for c in payload])
+        return out.select(*key_cols, *[F.col(f"{top}.{c}").alias(c) for c in payload])
 
     desc_order = [F.col(c).desc() for c in order_cols]
 
@@ -81,28 +89,30 @@ def lww_dedup(
         # local[32] (per-task runs too small to matter). Winners are
         # byte-identical (guide §2 per-task work; oracle-verified).
         kh = F.xxhash64(*[F.col(c) for c in key_cols])
-        w = Window.partitionBy("_kh", *key_cols).orderBy(*desc_order)
+        khc, rnc = _free("_kh"), _free("_rn")
+        w = Window.partitionBy(khc, *key_cols).orderBy(*desc_order)
         return (
-            df.withColumn("_kh", kh)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_kh")
+            df.withColumn(khc, kh)
+            .withColumn(rnc, F.row_number().over(w))
+            .filter(F.col(rnc) == 1)
+            .drop(rnc, khc)
         )
 
     if strategy == "salted_window":
         # Deterministic salt from the version columns: same row → same
         # salt on every replay, so resume/replay equivalence holds.
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts))
-        w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*desc_order)
+        sc, r1, r2 = _free("_salt"), _free("_rn1"), _free("_rn2")
+        w1 = Window.partitionBy(*key_cols, sc).orderBy(*desc_order)
         w2 = Window.partitionBy(*key_cols).orderBy(*desc_order)
         return (
-            df.withColumn("_salt", salt)
-            .repartition(*[F.col(c) for c in key_cols], F.col("_salt"))
-            .withColumn("_rn1", F.row_number().over(w1))
-            .filter(F.col("_rn1") == 1)
-            .withColumn("_rn2", F.row_number().over(w2))
-            .filter(F.col("_rn2") == 1)
-            .drop("_salt", "_rn1", "_rn2")
+            df.withColumn(sc, salt)
+            .repartition(*[F.col(c) for c in key_cols], F.col(sc))
+            .withColumn(r1, F.row_number().over(w1))
+            .filter(F.col(r1) == 1)
+            .withColumn(r2, F.row_number().over(w2))
+            .filter(F.col(r2) == 1)
+            .drop(sc, r1, r2)
         )
 
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -40,19 +40,24 @@ def get_spark(
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
+    # Parse the local[N] core count ONCE; every derived knob below uses
+    # the same notion of parallelism (None for non-local / local[*]).
+    try:
+        parsed_n = int(master.split("[")[1].rstrip("]*")) if "[" in master else None
+    except ValueError:
+        parsed_n = None
     if shuffle_partitions is None:
-        try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 50
-        except ValueError:
+        if parsed_n is not None:
+            n = parsed_n
+        elif "[" in master:  # local[*] and friends: machine parallelism
             n = int(cpus)
+        else:  # non-local master: executor count is unknowable here
+            n = 50
         # 4 waves per stage: fine enough that stage-barrier stragglers
         # don't idle cores, coarse enough that task overhead stays small
         shuffle_partitions = max(n * 4, 16)
 
-    try:
-        cores_n = int(master.split("[")[1].rstrip("]*")) if "[" in master else None
-    except ValueError:
-        cores_n = None
+    cores_n = parsed_n
     if cores_n is None:
         cores_n = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
 

@@ -411,8 +411,18 @@ class IngestPipeline:
             batch_stats = {"touched": None, "n_upserts": 0, "n_deletes": 0}
 
             def props():
+                # the stage clock here records only the RESOLVE wait
+                # (the profile job itself overlapped the merge); that
+                # small wait also sits inside batch.merge, which is the
+                # price of nesting — ~ms once the overlap has worked.
                 with stage("batch.profile"):
                     folded.update(_fold(fut.result()))
+                # write the real applied-event counts back into the
+                # shared batch_stats dict: merge_upsert re-reads them
+                # after this callable so its CommitResult carries true
+                # counts in the deferred mode too (not the placeholders)
+                batch_stats["n_upserts"] = folded["n_upserts"]
+                batch_stats["n_deletes"] = folded["n_deletes"]
                 return {
                     "global_hwm": rng.hi,
                     "batch_id": batch_id,
@@ -456,6 +466,17 @@ class IngestPipeline:
                 )
         finally:
             if local_pool is not None:
+                # merge failure hygiene: never leave the concurrent
+                # profile job unobserved — cancel it if it has not
+                # started, and swallow (rather than lose) its exception
+                # if it is already running, so a retry loop cannot
+                # accumulate silently failing background jobs.
+                if fut is not None and not fut.done():
+                    fut.cancel()
+                if fut is not None:
+                    fut.add_done_callback(
+                        lambda f: f.cancelled() or f.exception()
+                    )
                 local_pool.shutdown(wait=False)
         wall = time.monotonic() - t0
         part_ranges = folded["part_ranges"]

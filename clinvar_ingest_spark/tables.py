@@ -116,6 +116,27 @@ def bucket_expr(key_col: str, n_buckets: int):
 # 8-batch leg at round-6 start), and at 10^5 files a commit would
 # otherwise re-open the world.
 _FILE_ROWS: dict[str, int] = {}
+# Bound the cache so a long-lived ops driver (ingest + compact + vacuum
+# for months) cannot grow it without limit: entries are only ever an
+# optimization — a missing path falls back to a footer read — so
+# evicting the OLDEST quarter (dict preserves insertion order) is
+# always safe. 2^18 entries ≈ tens of MB, far above any single
+# commit's referenced-file count.
+_FILE_ROWS_CAP = 1 << 18
+
+
+def _file_rows_put(path: str, n: int) -> None:
+    if len(_FILE_ROWS) >= _FILE_ROWS_CAP:
+        for k in list(_FILE_ROWS)[: _FILE_ROWS_CAP // 4]:
+            del _FILE_ROWS[k]
+    _FILE_ROWS[path] = n
+
+
+def _file_rows_forget(path: str) -> None:
+    """Drop a deleted file's cached count (vacuum/drop hygiene: a
+    future writer reusing the path must never see a stale count)."""
+    _FILE_ROWS.pop(path, None)
+    _FILE_ROWS.pop(os.path.realpath(path), None)
 
 
 def _footer_rows(files: list[str]) -> int:
@@ -132,7 +153,7 @@ def _footer_rows(files: list[str]) -> int:
     missing = [f for f in files if f not in _FILE_ROWS]
 
     def _read(f: str) -> None:
-        _FILE_ROWS[f] = pq.ParquetFile(f).metadata.num_rows
+        _file_rows_put(f, pq.ParquetFile(f).metadata.num_rows)
 
     if len(missing) <= 4:
         for f in missing:
@@ -2342,7 +2363,7 @@ class SnapshotTable:
             # seed the commit-time row-count map: the writer already
             # knows every new file's row count, so the commit never
             # re-opens footers it just wrote
-            _FILE_ROWS[r["path"]] = int(r["n_rows"])
+            _file_rows_put(r["path"], int(r["n_rows"]))
         return {b: sorted(fs) for b, fs in buckets.items()}
 
     def _merge_write_bucket_local(
@@ -2433,7 +2454,7 @@ class SnapshotTable:
         buckets: dict[int, list[str]] = {}
         for r in rows:
             buckets.setdefault(int(r["bucket"]), []).append(r["path"])
-            _FILE_ROWS[r["path"]] = int(r["n_rows"])
+            _file_rows_put(r["path"], int(r["n_rows"]))
         return {b: sorted(fs) for b, fs in buckets.items()}
 
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None):
@@ -2668,6 +2689,7 @@ class SnapshotTable:
         # aggregate (bucket, op only — no payload, no UDF), or the
         # caller's precomputed stats (the pipeline folds this into its
         # lineage job so a batch costs exactly two Spark jobs)
+        deferred = False
         if batch_stats is None:
             stat_rows = (
                 batch.groupBy(BUCKET_COL)
@@ -2687,7 +2709,12 @@ class SnapshotTable:
             # target holds no data files, because every bucket the
             # merge writes IS a touched bucket and there is nothing
             # stored to prune. The un-pruned target read is free on an
-            # empty manifest.
+            # empty manifest. The event counts below are the caller's
+            # PLACEHOLDERS — the properties() callable resolves the
+            # real stats and writes them back into batch_stats, so they
+            # are re-read after that call (deferred=True) to keep the
+            # CommitResult contract identical across both stats modes.
+            deferred = True
             touched = None
             n_up = int(batch_stats["n_upserts"])
             n_del = int(batch_stats["n_deletes"])
@@ -2748,6 +2775,9 @@ class SnapshotTable:
             props.update(
                 properties() if callable(properties) else (properties or {})
             )
+            if deferred:
+                n_up = int(batch_stats["n_upserts"])
+                n_del = int(batch_stats["n_deletes"])
             with _stage("merge.footer_stats"):
                 n_after = _footer_rows(
                     [f for fs in buckets.values() for f in fs]
@@ -2841,6 +2871,9 @@ class SnapshotTable:
             props.update(
                 properties() if callable(properties) else (properties or {})
             )
+            if deferred:
+                n_up = int(batch_stats["n_upserts"])
+                n_del = int(batch_stats["n_deletes"])
             sid, mp = self._commit(
                 buckets, evolved, props, m["snapshot_id"], {"n_rows": n_after},
                 read_mode=m.get("read_mode", "plain"),
@@ -2931,6 +2964,9 @@ class SnapshotTable:
         # atomic commit — lets callers overlap side computations with
         # the merge while still committing their state atomically)
         props.update(properties() if callable(properties) else (properties or {}))
+        if deferred:
+            n_up = int(batch_stats["n_upserts"])
+            n_del = int(batch_stats["n_deletes"])
         with _stage("merge.commit"):
             sid, mp = self._commit(
                 buckets,
@@ -3661,6 +3697,7 @@ class SnapshotTable:
                     try:
                         os.unlink(full)
                         removed += 1
+                        _file_rows_forget(full)
                     except OSError:
                         pass
         # sweep now-empty snapshot dirs
@@ -3911,3 +3948,7 @@ class SnapshotTable:
             )
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
+            pref = os.path.realpath(self.path)
+            for k in [k for k in _FILE_ROWS
+                      if k.startswith(self.path) or k.startswith(pref)]:
+                del _FILE_ROWS[k]

@@ -805,3 +805,23 @@ def test_domain_token_cap_null_domain_and_text(spark):
     assert got[4] == ("x", 4, 4, True)
     # null text: 0 tokens, ranked last, adds nothing to the total
     assert got[3] == ("x", 0, 4, True)
+
+
+@pytest.mark.parametrize("strategy", ["window", "salted_window", "max_by"])
+def test_lww_preserves_caller_underscore_columns(spark, strategy):
+    """Helper-column hygiene: a caller column that happens to share an
+    internal helper's name (_kh/_rn/_salt/_top — nothing reserves
+    underscore names) must survive the dedup with its data intact."""
+    rows = [
+        ("a", TS + dt.timedelta(1), 1, "keep-a1", "s1"),
+        ("a", TS + dt.timedelta(2), 2, "keep-a2", "s2"),
+        ("b", TS, 3, "keep-b", "s3"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, seq long, _kh string, _salt string",
+    )
+    out = lww_dedup(df, ("url",), ("warc_ts", "seq"), strategy=strategy)
+    got = {r["url"]: (r["_kh"], r["_salt"]) for r in out.collect()}
+    assert got == {"a": ("keep-a2", "s2"), "b": ("keep-b", "s3")}
+    assert sorted(out.columns) == sorted(df.columns)

@@ -256,3 +256,36 @@ def test_prefetched_profile_equals_inline(spark, tmp_path):
         for r in p.lineage().collect()
     )
     assert lin(pre) == lin(inline)
+
+
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_deferred_stats_commit_result_counts(spark, tmp_path, merge_mode):
+    """Bootstrap deferred-stats mode (touched=None): merge_upsert must
+    return a CommitResult with the REAL applied-event counts once the
+    properties() callable has resolved them into the shared dict — the
+    API contract may not diverge between the two batch_stats modes."""
+    log = synthetic_change_log(spark, 400, n_urls=60)
+    batch = log.drop("part")
+    n_up = batch.filter("op <> 'delete'").count()
+    n_del = batch.filter("op = 'delete'").count()
+    assert n_up > 0 and n_del > 0  # fixture really has both kinds
+
+    tbl = SnapshotTable(
+        spark, str(tmp_path / merge_mode), key_col="url", n_buckets=8
+    ).create(SCHEMA)
+    stats = {"touched": None, "n_upserts": 0, "n_deletes": 0}
+
+    def props():
+        # the pipeline resolves its concurrent profile here; the test
+        # stands in for it with the known counts
+        stats["n_upserts"] = n_up
+        stats["n_deletes"] = n_del
+        return {"global_hwm": 399}
+
+    res = tbl.merge_upsert(
+        batch, properties=props, batch_stats=stats, merge_mode=merge_mode
+    )
+    assert (res.n_upserts, res.n_deletes) == (n_up, n_del)
+    assert sorted(res.touched_buckets) == sorted(
+        int(b) for b in tbl.current_manifest()["buckets"]
+    )
