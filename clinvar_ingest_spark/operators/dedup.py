@@ -58,10 +58,15 @@ def lww_dedup(
     key_cols = list(key_cols)
     order_cols = list(order_cols)
 
+    taken = {c.lower() for c in df.columns}
+
     def _free(name: str) -> str:
         # helper-column hygiene: never clobber a caller column that
-        # happens to share a helper's name (nothing reserves "_"-names)
-        while name in df.columns:
+        # happens to share a helper's name (nothing reserves "_"-names).
+        # Case-insensitive: withColumn/drop resolve names through the
+        # session resolver, which is case-insensitive by default, so a
+        # caller's "_KH" would still collide with a helper "_kh".
+        while name.lower() in taken:
             name += "_"
         return name
 

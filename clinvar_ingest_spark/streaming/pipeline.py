@@ -465,18 +465,21 @@ class IngestPipeline:
                     **transform_kw,
                 )
         finally:
+            # merge failure hygiene: never leave a still-pending profile
+            # future unobserved — cancel it if it has not started, and
+            # swallow (rather than lose) its exception if it is already
+            # running, so a retry loop cannot accumulate silently
+            # failing background jobs. Applies to the locally-created
+            # bootstrap future AND a prefetched one handed in by
+            # run_to_end (on success both are already consumed, and the
+            # done-callback on a done future is a no-op observe).
+            if fut is not None and not fut.done():
+                fut.cancel()
+            if fut is not None:
+                fut.add_done_callback(
+                    lambda f: f.cancelled() or f.exception()
+                )
             if local_pool is not None:
-                # merge failure hygiene: never leave the concurrent
-                # profile job unobserved — cancel it if it has not
-                # started, and swallow (rather than lose) its exception
-                # if it is already running, so a retry loop cannot
-                # accumulate silently failing background jobs.
-                if fut is not None and not fut.done():
-                    fut.cancel()
-                if fut is not None:
-                    fut.add_done_callback(
-                        lambda f: f.cancelled() or f.exception()
-                    )
                 local_pool.shutdown(wait=False)
         wall = time.monotonic() - t0
         part_ranges = folded["part_ranges"]

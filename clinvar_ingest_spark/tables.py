@@ -32,6 +32,7 @@ import os
 import re
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -119,24 +120,33 @@ _FILE_ROWS: dict[str, int] = {}
 # Bound the cache so a long-lived ops driver (ingest + compact + vacuum
 # for months) cannot grow it without limit: entries are only ever an
 # optimization — a missing path falls back to a footer read — so
-# evicting the OLDEST quarter (dict preserves insertion order) is
-# always safe. 2^18 entries ≈ tens of MB, far above any single
-# commit's referenced-file count.
+# eviction is always safe for correctness. Recency order: a put (or a
+# _footer_rows hit) re-inserts the key at the END of the dict, so the
+# oldest-quarter eviction drops least-recently-USED entries, not the
+# longest-lived — a live table's stable files stay cached while dead
+# (vacuumed/dropped) entries age out. 2^18 entries ≈ tens of MB, far
+# above any single commit's referenced-file count.
 _FILE_ROWS_CAP = 1 << 18
+_FILE_ROWS_LOCK = threading.Lock()
 
 
 def _file_rows_put(path: str, n: int) -> None:
-    if len(_FILE_ROWS) >= _FILE_ROWS_CAP:
-        for k in list(_FILE_ROWS)[: _FILE_ROWS_CAP // 4]:
-            del _FILE_ROWS[k]
-    _FILE_ROWS[path] = n
+    # lock: _footer_rows fans puts out over a thread pool; eviction's
+    # check-list-delete must not interleave with another thread's
+    with _FILE_ROWS_LOCK:
+        if len(_FILE_ROWS) >= _FILE_ROWS_CAP:
+            for k in list(_FILE_ROWS)[: _FILE_ROWS_CAP // 4]:
+                _FILE_ROWS.pop(k, None)
+        _FILE_ROWS.pop(path, None)  # re-insert at the end (recency)
+        _FILE_ROWS[path] = n
 
 
 def _file_rows_forget(path: str) -> None:
     """Drop a deleted file's cached count (vacuum/drop hygiene: a
     future writer reusing the path must never see a stale count)."""
-    _FILE_ROWS.pop(path, None)
-    _FILE_ROWS.pop(os.path.realpath(path), None)
+    with _FILE_ROWS_LOCK:
+        _FILE_ROWS.pop(path, None)
+        _FILE_ROWS.pop(os.path.realpath(path), None)
 
 
 def _footer_rows(files: list[str]) -> int:
@@ -145,23 +155,33 @@ def _footer_rows(files: list[str]) -> int:
     the plan. Footer opens are tiny IO-bound reads fanned out over a
     thread pool: they sit on the DRIVER-side serial path of every
     commit, so at high parallelism they would otherwise dominate the
-    Amdahl floor."""
+    Amdahl floor. Counts accumulate in a LOCAL map so a concurrent
+    cache eviction can never drop an entry this call still needs."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    missing = [f for f in files if f not in _FILE_ROWS]
+    counts: dict[str, int] = {}
+    missing: list[str] = []
+    for f in files:
+        n = _FILE_ROWS.get(f)
+        if n is None:
+            missing.append(f)
+        else:
+            counts[f] = n
+            _file_rows_put(f, n)  # refresh recency on hit
 
-    def _read(f: str) -> None:
-        _file_rows_put(f, pq.ParquetFile(f).metadata.num_rows)
+    def _read(f: str) -> tuple[str, int]:
+        n = pq.ParquetFile(f).metadata.num_rows
+        _file_rows_put(f, n)
+        return f, n
 
     if len(missing) <= 4:
-        for f in missing:
-            _read(f)
+        counts.update(_read(f) for f in missing)
     else:
         with ThreadPoolExecutor(min(16, len(missing))) as ex:
-            list(ex.map(_read, missing))
-    return sum(_FILE_ROWS[f] for f in files)
+            counts.update(ex.map(_read, missing))
+    return sum(counts[f] for f in files)
 
 
 @dataclass
@@ -329,6 +349,7 @@ class SnapshotTable:
             if f not in reachable:
                 try:
                     os.unlink(os.path.join(d, f))
+                    _file_rows_forget(os.path.join(d, f))
                 except OSError:
                     pass
 
@@ -3930,6 +3951,7 @@ class SnapshotTable:
             for old in changed:
                 try:
                     os.unlink(old)
+                    _file_rows_forget(old)
                 except OSError:
                     pass
         finally:
@@ -3948,7 +3970,11 @@ class SnapshotTable:
             )
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
-            pref = os.path.realpath(self.path)
-            for k in [k for k in _FILE_ROWS
-                      if k.startswith(self.path) or k.startswith(pref)]:
-                del _FILE_ROWS[k]
+            # trailing separator so /data/tbl never purges /data/tbl2
+            prefs = tuple(
+                p.rstrip(os.sep) + os.sep
+                for p in (self.path, os.path.realpath(self.path))
+            )
+            with _FILE_ROWS_LOCK:
+                for k in [k for k in _FILE_ROWS if k.startswith(prefs)]:
+                    _FILE_ROWS.pop(k, None)

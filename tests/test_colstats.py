@@ -174,3 +174,34 @@ def test_stats_tombstones_widen_not_leak(spark, tmp_table_dir):
     # still filters it: no deleted row leaks out of a covering range
     got = {r["url"] for r in t.range_scan("seq", 0, 100).collect()}
     assert "u3" not in got and len(got) == 9
+
+
+def test_footer_rows_survives_cache_eviction(tmp_path):
+    """The bounded row-count cache may evict entries at any moment
+    (including DURING a _footer_rows call, from its own thread pool's
+    puts): counts accumulate locally, so the sum never KeyErrors and is
+    exact even when the cap forces eviction of this call's own files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clinvar_ingest_spark import tables as tmod
+
+    files = []
+    for i in range(12):
+        p = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(pa.table({"x": list(range(i + 1))}), p)
+        files.append(p)
+
+    old_cap, old_cache = tmod._FILE_ROWS_CAP, dict(tmod._FILE_ROWS)
+    try:
+        tmod._FILE_ROWS.clear()
+        tmod._FILE_ROWS_CAP = 4  # every put evicts
+        total = tmod._footer_rows(files)          # all missing, pool path
+        assert total == sum(range(1, 13))
+        assert len(tmod._FILE_ROWS) <= 4
+        total2 = tmod._footer_rows(files)         # mixed hit/miss path
+        assert total2 == total
+    finally:
+        tmod._FILE_ROWS_CAP = old_cap
+        tmod._FILE_ROWS.clear()
+        tmod._FILE_ROWS.update(old_cache)

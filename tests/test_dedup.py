@@ -817,11 +817,13 @@ def test_lww_preserves_caller_underscore_columns(spark, strategy):
         ("a", TS + dt.timedelta(2), 2, "keep-a2", "s2"),
         ("b", TS, 3, "keep-b", "s3"),
     ]
+    # _KH differs from the helper's "_kh" only by CASE: withColumn/drop
+    # resolve case-insensitively by default, so it must be dodged too
     df = spark.createDataFrame(
         rows,
-        "url string, warc_ts timestamp, seq long, _kh string, _salt string",
+        "url string, warc_ts timestamp, seq long, _KH string, _salt string",
     )
     out = lww_dedup(df, ("url",), ("warc_ts", "seq"), strategy=strategy)
-    got = {r["url"]: (r["_kh"], r["_salt"]) for r in out.collect()}
+    got = {r["url"]: (r["_KH"], r["_salt"]) for r in out.collect()}
     assert got == {"a": ("keep-a2", "s2"), "b": ("keep-b", "s3")}
     assert sorted(out.columns) == sorted(df.columns)
